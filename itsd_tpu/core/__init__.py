@@ -1,0 +1,28 @@
+from .schedules import DiffusionSchedule, linear_schedule, make_schedule
+from .process import (
+    extract,
+    q_sample,
+    diffusion_train_terms,
+    mse_elementwise,
+    loss_reduce,
+    predict_prev_mean_from_eps,
+    p_mean_variance,
+    p_sample_step,
+    predict_x0_from_eps,
+    cfg_combine,
+    make_cfg_eps_fn,
+)
+from .sampling import (
+    sample,
+    denoise_segment,
+    renoise,
+    sample_with_snapshots,
+)
+
+__all__ = [
+    "DiffusionSchedule", "linear_schedule", "make_schedule",
+    "extract", "q_sample", "diffusion_train_terms", "mse_elementwise",
+    "loss_reduce", "predict_prev_mean_from_eps", "p_mean_variance",
+    "p_sample_step", "predict_x0_from_eps", "cfg_combine", "make_cfg_eps_fn",
+    "sample", "denoise_segment", "renoise", "sample_with_snapshots",
+]

@@ -1,0 +1,155 @@
+"""Gaussian diffusion forward/reverse process — pure, key-threaded functions.
+
+Functional re-design of the reference's `GaussianDiffusionTrainer` /
+`GaussianDiffusionSampler` method bodies
+(`/root/reference/Diffusion/Diffusion.py:37-102`,
+`/root/reference/DiffusionFreeGuidence/DiffusionCondition.py:37-105`).
+Everything here is shape-polymorphic over the trailing image dims and free of
+Python control flow, so it jits/vmaps/shards cleanly.
+
+Conventions
+-----------
+* Images are NHWC float32 in [-1, 1] (TPU-friendly channels-last; the torch
+  reference is NCHW — converters live in `itsd_tpu.data`).
+* ``t`` is an int32 ``[B]`` vector of timestep indices.
+* Randomness is explicit: callers pass `jax.random` keys.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .schedules import DiffusionSchedule
+
+# eps_fn(x_t [B,...], t [B]) -> predicted noise [B,...]
+EpsFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def extract(v: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Gather per-timestep coefficients and reshape to [B, 1, 1, ...] for
+    broadcasting. Mirrors `extract` (`Diffusion/Diffusion.py:9-16`) — on TPU
+    this lowers to a cheap dynamic-gather, no host sync."""
+    out = jnp.take(v, t, axis=0).astype(jnp.float32)
+    return out.reshape(t.shape + (1,) * (ndim - 1))
+
+
+def q_sample(sched: DiffusionSchedule, x_0: jnp.ndarray, t: jnp.ndarray,
+             noise: jnp.ndarray) -> jnp.ndarray:
+    """Forward process: x_t = sqrt(a_bar_t) x_0 + sqrt(1 - a_bar_t) eps.
+
+    Reference: `Diffusion/Diffusion.py:43-45`.
+    """
+    nd = x_0.ndim
+    return (extract(sched.sqrt_alphas_bar, t, nd) * x_0
+            + extract(sched.sqrt_one_minus_alphas_bar, t, nd) * noise)
+
+
+def diffusion_train_terms(
+    sched: DiffusionSchedule, key: jax.Array, x_0: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sample (t, noise, x_t) for one training step — Algorithm 1 setup.
+
+    Reference: `Diffusion/Diffusion.py:41-45` (uniform t, gaussian noise).
+    """
+    t_key, n_key = jax.random.split(key)
+    t = jax.random.randint(t_key, (x_0.shape[0],), 0, sched.T, dtype=jnp.int32)
+    noise = jax.random.normal(n_key, x_0.shape, x_0.dtype)
+    x_t = q_sample(sched, x_0, t, noise)
+    return t, noise, x_t
+
+
+def mse_elementwise(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Per-element squared error — the reference's `reduction='none'` MSE
+    (`Diffusion/Diffusion.py:46`). Callers reduce: uncond uses `.mean()`,
+    the CFG loop uses `sum()/B**2` (`TrainCondition.py:89`); both reductions
+    are provided by `loss_reduce`."""
+    return jnp.square(pred - target)
+
+
+def loss_reduce(loss: jnp.ndarray, mode: str = "mean") -> jnp.ndarray:
+    """Reduce an elementwise loss. ``mode='mean'`` matches the unconditional
+    loop (`Train.py:694`); ``mode='sum_div_b2'`` matches the CFG loop's
+    `loss.sum() / b ** 2` quirk (`TrainCondition.py:89`)."""
+    if mode == "mean":
+        return loss.mean()
+    if mode == "sum_div_b2":
+        b = loss.shape[0]
+        return loss.sum() / (b * b)
+    raise ValueError(f"unknown loss reduction: {mode!r}")
+
+
+def predict_prev_mean_from_eps(sched: DiffusionSchedule, x_t: jnp.ndarray,
+                               t: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:
+    """mu_theta(x_t, t) = coeff1_t * x_t - coeff2_t * eps.
+
+    Reference: `Diffusion/Diffusion.py:67-72`.
+    """
+    nd = x_t.ndim
+    return (extract(sched.coeff1, t, nd) * x_t
+            - extract(sched.coeff2, t, nd) * eps)
+
+
+def p_mean_variance(sched: DiffusionSchedule, x_t: jnp.ndarray, t: jnp.ndarray,
+                    eps: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Posterior mean and the sampler's variance table value.
+
+    Reference: `Diffusion/Diffusion.py:74-82` (the eps prediction is taken as
+    an argument here so model evaluation stays outside the math core).
+    """
+    var = extract(sched.sampler_var, t, x_t.ndim)
+    mean = predict_prev_mean_from_eps(sched, x_t, t, eps)
+    return mean, var
+
+
+def p_sample_step(sched: DiffusionSchedule, x_t: jnp.ndarray, t: jnp.ndarray,
+                  eps: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
+    """One reverse step: x_{t-1} = mu + sqrt(var) * noise, noiseless at t=0.
+
+    The reference branches in Python (`Diffusion.py:95-99`); here the t==0
+    case is a `where` mask so the step stays trace-friendly inside scan.
+    """
+    mean, var = p_mean_variance(sched, x_t, t, eps)
+    nonzero = (t > 0).astype(x_t.dtype).reshape(t.shape + (1,) * (x_t.ndim - 1))
+    return mean + nonzero * jnp.sqrt(var) * noise
+
+
+def predict_x0_from_eps(sched: DiffusionSchedule, x_t: jnp.ndarray,
+                        t: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:
+    """x_0-hat = (x_t - sqrt(1-a_bar) eps) / sqrt(a_bar). Used by verifiers to
+    score intermediate states during path search (paper Section "search over
+    paths"; the reference never implemented it — `search_algorithm.py:307-312`
+    is a placeholder)."""
+    nd = x_t.ndim
+    return ((x_t - extract(sched.sqrt_one_minus_alphas_bar, t, nd) * eps)
+            / extract(sched.sqrt_alphas_bar, t, nd))
+
+
+def cfg_combine(eps_cond: jnp.ndarray, eps_uncond: jnp.ndarray,
+                w: float) -> jnp.ndarray:
+    """Classifier-free-guidance mix: (1+w)*eps_cond - w*eps_uncond.
+
+    Reference: `DiffusionFreeGuidence/DiffusionCondition.py:85`.
+    """
+    return (1.0 + w) * eps_cond - w * eps_uncond
+
+
+def make_cfg_eps_fn(model_eps_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray],
+                    labels: jnp.ndarray, w: float) -> EpsFn:
+    """Build a guided eps_fn from a conditional model.
+
+    TPU-first: instead of the reference's two sequential model calls per step
+    (`DiffusionCondition.py:83-84`), we run ONE dual-batched forward —
+    concat([x, x]) with [labels, null-labels] — which keeps the MXU fed with a
+    2x larger matmul instead of two half-size launches.
+    """
+    def eps_fn(x_t: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        x2 = jnp.concatenate([x_t, x_t], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        lab2 = jnp.concatenate([labels, jnp.zeros_like(labels)], axis=0)
+        eps2 = model_eps_fn(x2, t2, lab2)
+        eps_c, eps_u = jnp.split(eps2, 2, axis=0)
+        return cfg_combine(eps_c, eps_u, w)
+    return eps_fn

@@ -1,0 +1,93 @@
+"""q-sample statistics, loss reductions, CFG mixing algebra, x0 prediction."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from itsd_tpu.core import (
+    cfg_combine, diffusion_train_terms, extract, linear_schedule,
+    loss_reduce, make_cfg_eps_fn, mse_elementwise, predict_x0_from_eps,
+    q_sample,
+)
+
+SCHED = linear_schedule(1e-4, 0.02, 50)
+
+
+def test_extract_broadcast_shape():
+    v = jnp.arange(50, dtype=jnp.float32)
+    t = jnp.array([0, 7, 49])
+    out = extract(v, t, 4)
+    assert out.shape == (3, 1, 1, 1)
+    np.testing.assert_allclose(np.asarray(out).ravel(), [0, 7, 49])
+
+
+def test_q_sample_marginal_statistics(key):
+    """x_t | x_0 must have mean sqrt(ab_t) x_0 and var (1 - ab_t)."""
+    n = 20000
+    x0 = jnp.full((n, 2, 2, 1), 0.5)
+    t = jnp.full((n,), 30, dtype=jnp.int32)
+    noise = jax.random.normal(key, x0.shape)
+    xt = q_sample(SCHED, x0, t, noise)
+    ab = float(SCHED.alphas_bar[30])
+    assert abs(float(xt.mean()) - 0.5 * np.sqrt(ab)) < 5e-3
+    assert abs(float(xt.std()) - np.sqrt(1 - ab)) < 5e-3
+
+
+def test_train_terms_uniform_t(key):
+    t, noise, x_t = diffusion_train_terms(SCHED, key, jnp.zeros((4096, 2, 2, 1)))
+    assert t.shape == (4096,)
+    assert int(t.min()) >= 0 and int(t.max()) < SCHED.T
+    # roughly uniform: mean near (T-1)/2
+    assert abs(float(t.mean()) - (SCHED.T - 1) / 2) < 2.5
+    assert x_t.shape == noise.shape == (4096, 2, 2, 1)
+
+
+def test_loss_reductions():
+    loss = jnp.ones((4, 3, 2, 2))
+    assert float(loss_reduce(loss, "mean")) == 1.0
+    # sum/b^2 quirk from the CFG loop (TrainCondition.py:89)
+    assert float(loss_reduce(loss, "sum_div_b2")) == 48.0 / 16.0
+    np.testing.assert_allclose(
+        np.asarray(mse_elementwise(jnp.array([2.0]), jnp.array([0.5]))),
+        [2.25])
+
+
+def test_cfg_combine_algebra():
+    e_c = jnp.array([1.0, 2.0])
+    e_u = jnp.array([0.5, 1.0])
+    np.testing.assert_allclose(np.asarray(cfg_combine(e_c, e_u, 0.0)),
+                               np.asarray(e_c))
+    np.testing.assert_allclose(np.asarray(cfg_combine(e_c, e_u, 1.8)),
+                               2.8 * np.asarray(e_c) - 1.8 * np.asarray(e_u),
+                               rtol=1e-6)
+
+
+def test_make_cfg_eps_fn_dual_batch_equals_two_calls(key):
+    """The dual-batched CFG forward must equal the reference's two sequential
+    calls (`DiffusionCondition.py:83-85`)."""
+    W = jax.random.normal(key, (3, 3))
+
+    def model(x, t, labels):
+        # toy conditional model: labels shift the prediction
+        return x @ W + labels[:, None, None, None].astype(jnp.float32)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 2, 3))
+    t = jnp.zeros((4,), jnp.int32)
+    labels = jnp.array([1, 2, 3, 4])
+    w = 1.8
+    eps_fn = make_cfg_eps_fn(model, labels, w)
+    got = eps_fn(x, t)
+    want = cfg_combine(model(x, t, labels),
+                       model(x, t, jnp.zeros_like(labels)), w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_predict_x0_roundtrip(key):
+    """q_sample then predict_x0_from_eps with the true noise recovers x_0."""
+    x0 = jax.random.normal(key, (8, 4, 4, 3))
+    t = jnp.array([0, 5, 10, 20, 30, 40, 45, 49])
+    noise = jax.random.normal(jax.random.PRNGKey(2), x0.shape)
+    xt = q_sample(SCHED, x0, t, noise)
+    x0_hat = predict_x0_from_eps(SCHED, xt, t, noise)
+    np.testing.assert_allclose(np.asarray(x0_hat), np.asarray(x0),
+                               rtol=1e-3, atol=1e-3)
