@@ -1,0 +1,164 @@
+"""Host-side input pipelines — the replacement for the reference's
+torchvision `CIFAR10` / `ImageFolder` + DataLoader-worker stack
+(`/root/reference/DiffusionFreeGuidence/TrainCondition.py:24-31`,
+`/root/reference/Diffusion/Train.py:449-514`).
+
+Design: datasets are simple iterables of numpy batches
+``{"image": [B,H,W,C] float32 in [-1,1], "label": [B] int32?}``; sharded
+placement onto the mesh happens in the training loop via
+`parallel.shard_batch`. Augmentation (random horizontal flip — the only one
+the reference uses, plus resize/normalize) is pure numpy on host.
+
+Sources:
+* ``Cifar10``        — reads the standard python-pickle CIFAR-10 archive
+                       from a local directory (no download in this
+                       environment; path-configurable like the reference's
+                       `imagenet_root`).
+* ``ImageFolderDataset`` — class-per-subdirectory layout, PNG decoding via
+                       PIL if available.
+* ``SyntheticDataset`` — deterministic random data for tests/benchmarks.
+
+All loaders support ``subset_ratio`` (the reference's
+``train_subset_ratio``, `Train.py:479-510`).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import tarfile
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class BatchIterator:
+    """Shuffling batch iterator over in-memory arrays."""
+
+    def __init__(self, images: np.ndarray, labels: Optional[np.ndarray],
+                 batch_size: int, seed: int = 0, flip: bool = True,
+                 drop_remainder: bool = True):
+        self.images = images
+        self.labels = labels
+        self.batch_size = batch_size
+        self.flip = flip
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.images) // self.batch_size
+        if not self.drop_remainder and len(self.images) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._rng.permutation(len(self.images))
+        for i in range(len(self)):
+            idx = order[i * self.batch_size:(i + 1) * self.batch_size]
+            imgs = self.images[idx]
+            if self.flip:
+                flip_mask = self._rng.random(len(idx)) < 0.5
+                imgs = imgs.copy()
+                imgs[flip_mask] = imgs[flip_mask, :, ::-1]
+            batch = {"image": imgs.astype(np.float32)}
+            if self.labels is not None:
+                batch["label"] = self.labels[idx].astype(np.int32)
+            yield batch
+
+
+def _to_unit_interval(u8: np.ndarray) -> np.ndarray:
+    """uint8 HWC -> float32 [-1, 1] (the reference normalises with
+    mean=std=0.5, `TrainCondition.py:26-29`)."""
+    return (u8.astype(np.float32) / 255.0) * 2.0 - 1.0
+
+
+def load_cifar10(root: str, train: bool = True,
+                 subset_ratio: Optional[float] = None,
+                 seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Load CIFAR-10 from the standard `cifar-10-batches-py` layout (or the
+    .tar.gz alongside). Returns (images [N,32,32,3] in [-1,1], labels [N])."""
+    base = os.path.join(root, "cifar-10-batches-py")
+    if not os.path.isdir(base):
+        tgz = os.path.join(root, "cifar-10-python.tar.gz")
+        if os.path.isfile(tgz):
+            with tarfile.open(tgz) as tf:
+                tf.extractall(root)
+    if not os.path.isdir(base):
+        raise FileNotFoundError(
+            f"CIFAR-10 not found under {root!r}; expected "
+            "cifar-10-batches-py/ or cifar-10-python.tar.gz (no network "
+            "download in this environment)")
+
+    files = ([f"data_batch_{i}" for i in range(1, 6)] if train
+             else ["test_batch"])
+    xs, ys = [], []
+    for f in files:
+        with open(os.path.join(base, f), "rb") as fh:
+            d = pickle.load(fh, encoding="bytes")
+        xs.append(d[b"data"])
+        ys.append(np.asarray(d[b"labels"]))
+    x = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    y = np.concatenate(ys)
+    x = _to_unit_interval(x)
+    if subset_ratio is not None and subset_ratio < 1.0:
+        n = max(1, int(len(x) * subset_ratio))
+        idx = np.random.default_rng(seed).permutation(len(x))[:n]
+        x, y = x[idx], y[idx]
+    return x, y.astype(np.int32)
+
+
+def load_image_folder(root: str, img_size: int = 256,
+                      subset_ratio: Optional[float] = None,
+                      seed: int = 0,
+                      max_images: Optional[int] = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Class-per-subdirectory image tree -> arrays (resize + center crop,
+    mirroring the reference's transforms at `Train.py:452-467`)."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("ImageFolderDataset needs PIL") from e
+
+    classes = sorted(d for d in os.listdir(root)
+                     if os.path.isdir(os.path.join(root, d)))
+    paths, labels = [], []
+    for ci, c in enumerate(classes):
+        cdir = os.path.join(root, c)
+        for f in sorted(os.listdir(cdir)):
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".webp")):
+                paths.append(os.path.join(cdir, f))
+                labels.append(ci)
+    paths = np.asarray(paths)
+    labels = np.asarray(labels, dtype=np.int32)
+    if subset_ratio is not None and subset_ratio < 1.0:
+        n = max(1, int(len(paths) * subset_ratio))
+        idx = np.random.default_rng(seed).permutation(len(paths))[:n]
+        paths, labels = paths[idx], labels[idx]
+    if max_images is not None:
+        paths, labels = paths[:max_images], labels[:max_images]
+
+    imgs = np.empty((len(paths), img_size, img_size, 3), dtype=np.float32)
+    for i, p in enumerate(paths):
+        im = Image.open(p).convert("RGB")
+        # resize shorter side then center crop
+        w, h = im.size
+        scale = img_size / min(w, h)
+        im = im.resize((max(img_size, int(round(w * scale))),
+                        max(img_size, int(round(h * scale)))))
+        w, h = im.size
+        left, top = (w - img_size) // 2, (h - img_size) // 2
+        im = im.crop((left, top, left + img_size, top + img_size))
+        imgs[i] = _to_unit_interval(np.asarray(im, dtype=np.uint8))
+    return imgs, labels
+
+
+def synthetic_dataset(n: int = 256, img_size: int = 32, num_labels: int = 10,
+                      seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic random data (smooth blobs, not white noise) for tests
+    and benchmarks."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n, img_size // 4, img_size // 4, 3))
+    imgs = np.repeat(np.repeat(base, 4, axis=1), 4, axis=2)
+    imgs = np.tanh(imgs).astype(np.float32)
+    labels = rng.integers(0, num_labels, size=n).astype(np.int32)
+    return imgs, labels

@@ -1,0 +1,156 @@
+"""Spatial self-attention over H*W tokens — XLA path + Pallas flash kernel.
+
+The reference materialises the full ``[B, HW, HW]`` score matrix with two
+bmms (`/root/reference/Diffusion/Model.py:145-164`), which is its scaling
+wall at img_size=256 / 64x64-token stages (4096^2 scores per image). Here:
+
+* ``_attention_xla``: einsum + softmax — good for small token counts; XLA
+  fuses it well and it is the CPU-test path.
+* ``_attention_flash``: Pallas blockwise online-softmax attention that never
+  materialises the score matrix in HBM. Grid is (batch*heads, q-blocks,
+  k-blocks); the k dimension is innermost so running max/denominator/
+  accumulator live in VMEM scratch across the k sweep.
+
+`spatial_attention` dispatches: "auto" uses flash on TPU when shapes tile
+cleanly, XLA otherwise. Everything is single-head (matching the reference's
+AttnBlock); `mha_attention` vmaps heads for the ViT.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu import fails on some CPU-only builds; guard it.
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def _attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   scale: float) -> jnp.ndarray:
+    """[B, N, C] single-head attention via explicit score matrix (XLA fuses
+    the softmax; fine for small N, reference-semantics ground truth)."""
+    # precision=HIGHEST: the default matmul precision truncates f32 operands
+    # to bf16; attention weights need the full mantissa. (bf16 inputs still
+    # take the fast MXU path — accumulation is f32 either way.)
+    scores = jnp.einsum("bqc,bkc->bqk", q, k,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST) * scale
+    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bqk,bkc->bqc", w, v,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST).astype(v.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                  scale: float, kv_blocks: int):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]  # [bq, c]
+    k = k_ref[0]  # [bk, c]
+    v = v_ref[0]  # [bk, c]
+
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) * scale  # [bq,bk]
+    m_prev = m_ref[:, 0]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    correction = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(s - m_cur[:, None])
+    l_ref[:, 0] = l_ref[:, 0] * correction + jnp.sum(p, axis=-1)
+    m_ref[:, 0] = m_cur
+    acc_ref[:] = (acc_ref[:] * correction[:, None]
+                  + jnp.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST))
+
+    @pl.when(kb == kv_blocks - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
+
+
+def _attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     scale: float, block_q: int = 256,
+                     block_k: int = 512, interpret: bool = False
+                     ) -> jnp.ndarray:
+    """Pallas blockwise attention. q,k,v: [B, N, C], N % block sizes == 0."""
+    B, N, C = q.shape
+    block_q = min(block_q, N)
+    block_k = min(block_k, N)
+    assert N % block_q == 0 and N % block_k == 0, (N, block_q, block_k)
+    q_blocks = N // block_q
+    kv_blocks = N // block_k
+
+    grid = (B, q_blocks, kv_blocks)
+    kernel = functools.partial(_flash_kernel, scale=scale,
+                               kv_blocks=kv_blocks)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, C), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, C), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, C), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, C), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, C), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ] if _HAS_PLTPU else [],
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _flash_eligible(n: int, c: int) -> bool:
+    """Flash path needs lane-aligned shapes to tile onto the MXU."""
+    return n >= 256 and n % 256 == 0 and c % 128 == 0
+
+
+def spatial_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      impl: str = "auto",
+                      interpret: bool = False) -> jnp.ndarray:
+    """Single-head attention over flattened spatial tokens.
+
+    Args:
+      q, k, v: ``[B, N, C]`` (N = H*W). Scale is ``C**-0.5`` exactly as the
+        reference (`Diffusion/Model.py:154`).
+      impl: "xla" | "flash" | "auto".
+    """
+    C = q.shape[-1]
+    scale = float(C) ** -0.5
+    if impl == "xla":
+        return _attention_xla(q, k, v, scale)
+    if impl == "flash":
+        return _attention_flash(q, k, v, scale, interpret=interpret)
+    # auto
+    if (_HAS_PLTPU and jax.default_backend() == "tpu"
+            and _flash_eligible(q.shape[1], C)):
+        return _attention_flash(q, k, v, scale)
+    return _attention_xla(q, k, v, scale)
+
+
+def mha_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                  impl: str = "auto") -> jnp.ndarray:
+    """Multi-head attention, q/k/v ``[B, N, H, D]`` -> ``[B, N, H, D]``.
+
+    Folds heads into the batch dimension and reuses the single-head paths —
+    on TPU the flash kernel's grid then covers B*H programs.
+    """
+    B, N, H, D = q.shape
+    fold = lambda x: x.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    out = spatial_attention(fold(q), fold(k), fold(v), impl=impl)
+    return out.reshape(B, H, N, D).transpose(0, 2, 1, 3)

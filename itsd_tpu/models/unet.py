@@ -1,0 +1,274 @@
+"""Unified DDPM UNet (unconditional + classifier-free-guidance conditional).
+
+One parameterised model replaces the reference's two near-copy stacks
+(`/root/reference/Diffusion/Model.py:212-285` and
+`/root/reference/DiffusionFreeGuidence/ModelCondition.py:164-235`), whose
+divergent details are captured by `UNetConfig` flags:
+
+| knob              | uncond reference            | conditional reference        |
+|-------------------|-----------------------------|------------------------------|
+| time embedding    | functional sinusoid (C7)    | trainable table (C8)         |
+| label embedding   | none                        | padding-idx-0 null class     |
+| down-stage attn   | stages listed in ``attn``   | every down ResBlock          |
+| up-stage attn     | stages listed in ``attn``   | none                         |
+| DownSample        | conv3x3 s2                  | conv3x3s2 + conv5x5s2 (sum)  |
+| UpSample          | nearest-2x + conv3x3        | conv-transpose5 s2 + conv3x3 |
+| loss reduction    | mean                        | sum / B^2                    |
+
+Layout is NHWC (TPU-native; channels-last feeds the MXU's 128-lane registers
+directly). Init matches the reference: Xavier-uniform everywhere, zero
+biases, 1e-5-gain Xavier on the residual/attn/tail output convs so the net
+starts near-identity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..kernels.attention import spatial_attention
+from .embeddings import (ConditionalEmbedding, FunctionalTimeEmbedding,
+                         TableTimeEmbedding, tiny_xavier, xavier, zeros)
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    ch: int = 128
+    ch_mult: Tuple[int, ...] = (1, 2, 2, 2)
+    attn: Tuple[int, ...] = (1,)          # stage indices with attention
+    num_res_blocks: int = 2
+    dropout: float = 0.1
+    in_ch: int = 3
+    num_labels: Optional[int] = None      # None => unconditional
+    time_embed: str = "functional"        # "functional" | "table"
+    T: int = 1000                          # only used by the table embedding
+    down_attn_all: bool = False           # conditional ref: attn in all down blocks
+    up_attn: bool = True                  # conditional ref sets False
+    down_type: str = "conv"               # "conv" | "dual_conv"
+    up_type: str = "nearest_conv"         # "nearest_conv" | "transpose_conv"
+    attention_impl: str = "auto"          # "auto" | "xla" | "flash"
+    dtype: str = "float32"                # compute dtype ("bfloat16" on TPU)
+
+    @property
+    def tdim(self) -> int:
+        return self.ch * 4
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def conditional(self) -> bool:
+        return self.num_labels is not None
+
+
+def uncond_unet_config(**kw) -> UNetConfig:
+    """Defaults matching `Diffusion/Model.py` UNet."""
+    return UNetConfig(**kw)
+
+
+def cond_unet_config(num_labels: int = 10, **kw) -> UNetConfig:
+    """Defaults matching `DiffusionFreeGuidence/ModelCondition.py` UNet."""
+    kw.setdefault("time_embed", "table")
+    kw.setdefault("down_attn_all", True)
+    kw.setdefault("up_attn", False)
+    kw.setdefault("down_type", "dual_conv")
+    kw.setdefault("up_type", "transpose_conv")
+    kw.setdefault("attn", ())
+    return UNetConfig(num_labels=num_labels, **kw)
+
+
+def _groups(ch: int) -> int:
+    """GroupNorm(32) like the reference, degrading gracefully for the tiny
+    test configs the reference cannot run (torch GroupNorm(32, 8) errors)."""
+    return min(32, ch)
+
+
+class AttnBlock(nn.Module):
+    """Single-head spatial self-attention with residual, scale C**-0.5.
+
+    Reference: `Diffusion/Model.py:129-164`. The q/k/v/out 1x1 convs are
+    Dense layers over the channel axis in NHWC; the score matrix is computed
+    by `kernels.attention` (flash on TPU — never materialised in HBM).
+    """
+    impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = nn.GroupNorm(num_groups=_groups(C), epsilon=1e-5,
+                         dtype=jnp.float32, name="norm")(x)
+        h = h.astype(self.dtype)
+        q = nn.Dense(C, kernel_init=xavier, bias_init=zeros,
+                     dtype=self.dtype, name="q")(h)
+        k = nn.Dense(C, kernel_init=xavier, bias_init=zeros,
+                     dtype=self.dtype, name="k")(h)
+        v = nn.Dense(C, kernel_init=xavier, bias_init=zeros,
+                     dtype=self.dtype, name="v")(h)
+        flat = lambda a: a.reshape(B, H * W, C)
+        o = spatial_attention(flat(q), flat(k), flat(v), impl=self.impl)
+        o = o.reshape(B, H, W, C)
+        o = nn.Dense(C, kernel_init=tiny_xavier, bias_init=zeros,
+                     dtype=self.dtype, name="proj")(o)
+        return x + o
+
+
+class ResBlock(nn.Module):
+    """GN -> swish -> conv3 -> (+temb)(+cemb) -> GN -> swish -> drop -> conv3
+    -> +shortcut -> [attn]. Reference: `Diffusion/Model.py:167-209` and the
+    conditional variant's extra cond_proj (`ModelCondition.py:121-161`)."""
+    out_ch: int
+    dropout: float
+    attn: bool
+    conditional: bool
+    attention_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, cemb=None, *, deterministic: bool = True):
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(num_groups=_groups(in_ch), epsilon=1e-5,
+                         dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), kernel_init=xavier, bias_init=zeros,
+                    dtype=self.dtype, name="conv1")(h)
+        t = nn.Dense(self.out_ch, kernel_init=xavier, bias_init=zeros,
+                     dtype=self.dtype, name="temb_proj")(nn.silu(temb))
+        h = h + t[:, None, None, :]
+        if self.conditional:
+            c = nn.Dense(self.out_ch, kernel_init=xavier, bias_init=zeros,
+                         dtype=self.dtype, name="cond_proj")(nn.silu(cemb))
+            h = h + c[:, None, None, :]
+        h = nn.GroupNorm(num_groups=_groups(self.out_ch), epsilon=1e-5,
+                         dtype=jnp.float32, name="norm2")(h).astype(self.dtype)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.out_ch, (3, 3), kernel_init=tiny_xavier,
+                    bias_init=zeros, dtype=self.dtype, name="conv2")(h)
+        if in_ch != self.out_ch:
+            x = nn.Dense(self.out_ch, kernel_init=xavier, bias_init=zeros,
+                         dtype=self.dtype, name="shortcut")(x)
+        h = h + x
+        if self.attn:
+            h = AttnBlock(impl=self.attention_impl, dtype=self.dtype,
+                          name="attn")(h)
+        return h
+
+
+class DownSample(nn.Module):
+    """Stride-2 downsample. "conv": conv3x3 s2 (`Model.py:96-108`);
+    "dual_conv": conv3x3s2 + conv5x5s2 summed (`ModelCondition.py:65-73`)."""
+    kind: str
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        y = nn.Conv(C, (3, 3), strides=(2, 2), kernel_init=xavier,
+                    bias_init=zeros, dtype=self.dtype, name="c1")(x)
+        if self.kind == "dual_conv":
+            y = y + nn.Conv(C, (5, 5), strides=(2, 2), kernel_init=xavier,
+                            bias_init=zeros, dtype=self.dtype, name="c2")(x)
+        return y
+
+
+class UpSample(nn.Module):
+    """2x upsample. "nearest_conv": nearest-neighbour + conv3x3
+    (`Model.py:111-126`); "transpose_conv": conv-transpose5 s2 + conv3x3
+    (`ModelCondition.py:76-86`)."""
+    kind: str
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        if self.kind == "nearest_conv":
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        else:
+            x = nn.ConvTranspose(C, (5, 5), strides=(2, 2), padding="SAME",
+                                 kernel_init=xavier, bias_init=zeros,
+                                 dtype=self.dtype, name="t")(x)
+        return nn.Conv(C, (3, 3), kernel_init=xavier, bias_init=zeros,
+                       dtype=self.dtype, name="c")(x)
+
+
+class UNet(nn.Module):
+    """The denoiser. __call__(x [B,H,W,C], t [B], labels [B]?) -> eps.
+
+    ``return_representation=True`` additionally returns the pre-tail
+    activation, the hook used by representation analysis
+    (`ModelCondition.py:206-235`).
+    """
+    cfg: UNetConfig
+
+    @nn.compact
+    def __call__(self, x, t, labels=None, *, deterministic: bool = True,
+                 return_representation: bool = False):
+        cfg = self.cfg
+        dtype = cfg.jnp_dtype
+        x = x.astype(dtype)
+
+        if cfg.time_embed == "functional":
+            temb = FunctionalTimeEmbedding(cfg.ch, cfg.tdim, dtype,
+                                           name="time_embedding")(t)
+        else:
+            temb = TableTimeEmbedding(cfg.T, cfg.ch, cfg.tdim, dtype,
+                                      name="time_embedding")(t)
+        cemb = None
+        if cfg.conditional:
+            assert labels is not None, "conditional UNet needs labels"
+            cemb = ConditionalEmbedding(cfg.num_labels, cfg.ch, cfg.tdim,
+                                        dtype, name="cond_embedding")(labels)
+
+        res = lambda out_ch, attn, name: ResBlock(
+            out_ch=out_ch, dropout=cfg.dropout, attn=attn,
+            conditional=cfg.conditional, attention_impl=cfg.attention_impl,
+            dtype=dtype, name=name)
+
+        h = nn.Conv(cfg.ch, (3, 3), kernel_init=xavier, bias_init=zeros,
+                    dtype=dtype, name="head")(x)
+        hs = [h]
+        # Down path
+        now_ch = cfg.ch
+        for i, mult in enumerate(cfg.ch_mult):
+            out_ch = cfg.ch * mult
+            for j in range(cfg.num_res_blocks):
+                attn = cfg.down_attn_all or (i in cfg.attn)
+                h = res(out_ch, attn, f"down_{i}_{j}")(
+                    h, temb, cemb, deterministic=deterministic)
+                now_ch = out_ch
+                hs.append(h)
+            if i != len(cfg.ch_mult) - 1:
+                h = DownSample(cfg.down_type, dtype, name=f"down_{i}_ds")(h)
+                hs.append(h)
+        # Middle
+        h = res(now_ch, True, "mid_0")(h, temb, cemb,
+                                       deterministic=deterministic)
+        h = res(now_ch, False, "mid_1")(h, temb, cemb,
+                                        deterministic=deterministic)
+        # Up path (skip-concat on channels)
+        for i, mult in reversed(list(enumerate(cfg.ch_mult))):
+            out_ch = cfg.ch * mult
+            for j in range(cfg.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                attn = cfg.up_attn and (i in cfg.attn)
+                h = res(out_ch, attn, f"up_{i}_{j}")(
+                    h, temb, cemb, deterministic=deterministic)
+            if i != 0:
+                h = UpSample(cfg.up_type, dtype, name=f"up_{i}_us")(h)
+        assert not hs
+
+        representation = h
+        h = nn.GroupNorm(num_groups=_groups(h.shape[-1]), epsilon=1e-5,
+                         dtype=jnp.float32, name="tail_norm")(h).astype(dtype)
+        h = nn.silu(h)
+        h = nn.Conv(cfg.in_ch, (3, 3), kernel_init=tiny_xavier,
+                    bias_init=zeros, dtype=dtype, name="tail_conv")(h)
+        h = h.astype(jnp.float32)
+        if return_representation:
+            return h, representation
+        return h

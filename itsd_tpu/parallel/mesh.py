@@ -1,0 +1,84 @@
+"""Device mesh + sharding layer — the SPMD replacement for the reference's
+single-process `torch.nn.DataParallel` (`/root/reference/Diffusion/
+Train.py:543-554`, device-id parsing at `:406-447`).
+
+Axes
+----
+* ``data``      — batch sharding for training (DP). Gradients are reduced by
+  XLA's all-reduce over ICI — no gather-to-device-0 bottleneck.
+* ``model``     — optional tensor parallelism: large kernels are sharded on
+  their output-channel axis; XLA inserts the all-gathers/reduce-scatters.
+* ``candidate`` — the search-specific axis: noise candidates in
+  best-of-N / zero-order / path search shard across chips (the reference
+  runs candidates serially on one device — `search_algorithm.py:65`).
+
+The recipe is the scaling-book one: make a mesh, annotate shardings with
+NamedSharding/PartitionSpec, let XLA place the collectives on ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axis_sizes: Optional[Sequence[int]] = None,
+              axis_names: Sequence[str] = ("data",),
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a mesh over the available devices.
+
+    With default arguments this is a 1-D data mesh over every device. Pass
+    ``axis_sizes`` to factor the slice, e.g. ``((4, 2), ("data", "model"))``.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if axis_sizes is None:
+        axis_sizes = [len(devices)] + [1] * (len(axis_names) - 1)
+    assert int(np.prod(axis_sizes)) == len(devices), (axis_sizes, len(devices))
+    dev_array = np.asarray(devices).reshape(tuple(axis_sizes))
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim of activations."""
+    return NamedSharding(mesh, P(axis))
+
+
+def candidate_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Search candidates use the same physical axis as data parallelism —
+    a candidate IS the unit of data in inference-time scaling."""
+    return NamedSharding(mesh, P(axis))
+
+
+def param_sharding(params, mesh: Mesh, model_axis: str = "model"):
+    """Tensor-parallel layout: shard the output-channel (last) axis of every
+    kernel that divides evenly over the ``model`` axis; replicate the rest.
+
+    Biases/norm scales are tiny — replicated. With model axis size 1 this
+    degrades to full replication (pure DP).
+    """
+    if model_axis in mesh.axis_names:
+        msize = mesh.shape[model_axis]
+    else:
+        msize = 1
+
+    def rule(x):
+        if (msize > 1 and hasattr(x, "ndim") and x.ndim >= 2
+                and x.shape[-1] % msize == 0 and x.shape[-1] >= 2 * msize):
+            spec = [None] * (x.ndim - 1) + [model_axis]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a host batch onto the mesh, sharded on the leading dim."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,126 @@
+"""SPMD training step + state — the TPU-native core of the reference's
+training loops (`/root/reference/Diffusion/Train.py:683-711`,
+`/root/reference/DiffusionFreeGuidence/TrainCondition.py:52-95`).
+
+Differences by design:
+* One jitted, donated train step — grads reduced by XLA all-reduce over the
+  mesh's ``data`` axis instead of DataParallel scatter/gather; no per-step
+  host sync (the reference calls ``loss.item()`` every step, `Train.py:704`).
+* EMA of parameters is maintained on-device (improvement: the reference has
+  none, so its eval samples from raw weights).
+* CFG label handling (shift +1, 10% dropout to the null class —
+  `TrainCondition.py:63-65`) happens inside the step, key-threaded.
+* Optimizer state is part of the checkpointed state (the reference only
+  saves model weights — no true resume, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..core.process import diffusion_train_terms, loss_reduce, mse_elementwise
+from ..core.schedules import DiffusionSchedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any  # None when EMA disabled
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    lr: float = 1e-4
+    weight_decay: float = 1e-4      # AdamW wd, Train.py:578
+    grad_clip: float = 1.0          # global-norm clip, Train.py:697
+    multiplier: float = 2.0         # warmup peak multiplier
+    epochs: int = 10
+    warm_epochs: Optional[int] = None  # default: epochs // 10
+    steps_per_epoch: int = 1
+    ema_decay: Optional[float] = 0.999  # None disables EMA
+
+
+def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    from .schedule import warmup_cosine_epochs
+    warm = cfg.warm_epochs if cfg.warm_epochs is not None else cfg.epochs // 10
+    sched = warmup_cosine_epochs(cfg.lr, cfg.multiplier, cfg.epochs, warm,
+                                 cfg.steps_per_epoch)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(learning_rate=sched, weight_decay=cfg.weight_decay),
+    )
+
+
+def create_train_state(params, tx: optax.GradientTransformation,
+                       ema: bool = True) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params) if ema else None,
+    )
+
+
+def make_train_step(
+    apply_fn: Callable,
+    sched: DiffusionSchedule,
+    tx: optax.GradientTransformation,
+    *,
+    conditional: bool = False,
+    loss_reduction: str = "mean",
+    label_dropout: float = 0.1,
+    ema_decay: Optional[float] = 0.999,
+    donate: bool = True,
+):
+    """Build the jitted SPMD train step.
+
+    ``apply_fn(params, x_t, t, labels?, rngs=...)`` predicts eps.
+    Returns ``step_fn(state, batch, key) -> (state, metrics)`` where batch is
+    ``{"image": [B,H,W,C]}`` (+ ``"label": [B]`` raw 0..num_labels-1 labels
+    when conditional).
+    """
+
+    def loss_fn(params, batch, key):
+        dkey, tkey, lkey = jax.random.split(key, 3)
+        x0 = batch["image"]
+        t, noise, x_t = diffusion_train_terms(sched, tkey, x0)
+        if conditional:
+            # Reference: labels += 1; 10% zeroed to the null class
+            # (`TrainCondition.py:63-65`).
+            labels = batch["label"].astype(jnp.int32) + 1
+            drop = jax.random.uniform(lkey, labels.shape) < label_dropout
+            labels = jnp.where(drop, 0, labels)
+            eps = apply_fn(params, x_t, t, labels, deterministic=False,
+                           rngs={"dropout": dkey})
+        else:
+            eps = apply_fn(params, x_t, t, deterministic=False,
+                           rngs={"dropout": dkey})
+        loss = loss_reduce(mse_elementwise(eps, noise), loss_reduction)
+        return loss
+
+    def step_fn(state: TrainState, batch, key) -> Tuple[TrainState, dict]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if state.ema_params is not None and ema_decay is not None:
+            ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                state.ema_params, params)
+        else:
+            ema = state.ema_params
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, ema_params=ema)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,230 @@
+"""One dataclass config tree + YAML + dotted-key CLI overrides.
+
+Replaces the reference's three config mechanisms (Hydra YAML for two entry
+points, a hard-coded dict for the CFG entry, argparse for analysis —
+SURVEY §5 "Config"). Key names deliberately match the reference
+(`/root/reference/config/config.yaml`): T, inference_T, beta_1, beta_T,
+channel, channel_mult, attn, num_res_blocks, dropout, w, epoch, batch_size,
+lr, multiplier, grad_clip, img_size, ...
+
+String coercion mirrors `Main.py:38-60`: "none"/"null" -> None,
+"true"/"false" -> bool, numeric strings -> numbers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, List, Optional, Sequence, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass
+class ModelCfg:
+    backbone: str = "unet"              # "unet" | "vit"
+    channel: int = 128
+    channel_mult: Tuple[int, ...] = (1, 2, 3, 4)
+    attn: Tuple[int, ...] = (2,)
+    num_res_blocks: int = 2
+    dropout: float = 0.15
+    num_labels: Optional[int] = None    # None => unconditional
+    time_embed: str = "functional"      # "functional" | "table"
+    dtype: str = "float32"              # "bfloat16" for TPU perf runs
+    attention_impl: str = "auto"
+    # ViT-only knobs (`Model.py:357-380`)
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+
+
+@dataclasses.dataclass
+class DiffusionCfg:
+    T: int = 1000
+    inference_T: Optional[int] = None   # None => use training T
+    beta_1: float = 1e-4
+    beta_T: float = 0.02
+    w: float = 0.0                      # CFG guidance weight
+
+
+@dataclasses.dataclass
+class TrainCfg:
+    epoch: int = 10
+    batch_size: int = 128
+    lr: float = 1e-4
+    multiplier: float = 2.0
+    grad_clip: float = 1.0
+    weight_decay: float = 1e-4
+    ema_decay: Optional[float] = 0.999
+    loss_reduction: str = "mean"        # "sum_div_b2" for CFG parity
+    label_dropout: float = 0.1
+    eval_freq: int = 5
+    model_save_freq: int = 5
+    metric_interval: int = 10
+    eval_batch_size: Optional[int] = None
+    fid_num_real_samples: int = 5000
+    clip_num_real_samples: int = 5000
+    training_load_weight: Optional[str] = None
+    # T-extension fine-tune
+    fine_tune_lr: float = 1e-5
+    freeze_except_time_embedding: bool = False
+    time_embedding_strategy: str = "interpolate"  # | "reinit"
+
+
+@dataclasses.dataclass
+class DataCfg:
+    dataset: str = "cifar10"            # "cifar10" | "imagefolder" | "synthetic"
+    root: str = "./datasets"
+    img_size: int = 32
+    use_full_dataset: bool = True
+    train_subset_ratio: float = 1.0
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class SearchCfg:
+    algorithm: str = "random"           # random|zero_order|path|gradient
+    verifier: str = "oracle"            # oracle|self_supervised|aesthetic|classifier|ensemble
+    n_candidates: int = 4
+    n_neighbors: int = 4
+    lambda_radius: float = 0.95
+    n_iterations: int = 10
+    neighbor_mode: str = "additive"     # | "shell"
+    n_paths: int = 4
+    n_active: int = 2
+    injection_steps: Tuple[int, ...] = (400,)
+    delta_f: int = 50
+    gradient_lr: float = 0.01
+
+
+@dataclasses.dataclass
+class Config:
+    state: str = "train"                # train | eval | search
+    seed: int = 0
+    model: ModelCfg = dataclasses.field(default_factory=ModelCfg)
+    diffusion: DiffusionCfg = dataclasses.field(default_factory=DiffusionCfg)
+    train: TrainCfg = dataclasses.field(default_factory=TrainCfg)
+    data: DataCfg = dataclasses.field(default_factory=DataCfg)
+    search: SearchCfg = dataclasses.field(default_factory=SearchCfg)
+    save_weight_dir: str = "./checkpoints"
+    sampled_dir: str = "./sampled"
+    metrics_save_dir: str = "./metrics_curves"
+    test_load_weight: Optional[str] = None
+    nrow: int = 8
+
+
+def coerce(value: str) -> Any:
+    """'none'->None, 'true'/'false'->bool, numbers->numbers; else str.
+    Mirrors the legacy-string handling at `Main.py:38-60`."""
+    if not isinstance(value, str):
+        return value
+    low = value.lower()
+    if low in ("none", "null"):
+        return None
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    try:
+        return int(value)
+    except ValueError:
+        pass
+    try:
+        return float(value)
+    except ValueError:
+        pass
+    if value.startswith("[") or value.startswith("("):
+        try:
+            return tuple(json.loads(value.replace("(", "[").replace(")", "]")))
+        except json.JSONDecodeError:
+            pass
+    return value
+
+
+def _set_dotted(obj: Any, dotted: str, value: Any) -> None:
+    parts = dotted.split(".")
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    name = parts[-1]
+    if not hasattr(obj, name):
+        raise KeyError(f"unknown config key: {dotted!r}")
+    current = getattr(obj, name)
+    if isinstance(current, tuple) and isinstance(value, (list, tuple)):
+        value = tuple(value)
+    setattr(obj, name, value)
+
+
+_LEGACY_MAP = {
+    # flat reference keys -> our tree (so reference-style overrides work)
+    "T": "diffusion.T",
+    "inference_T": "diffusion.inference_T",
+    "beta_1": "diffusion.beta_1",
+    "beta_T": "diffusion.beta_T",
+    "w": "diffusion.w",
+    "channel": "model.channel",
+    "channel_mult": "model.channel_mult",
+    "attn": "model.attn",
+    "num_res_blocks": "model.num_res_blocks",
+    "dropout": "model.dropout",
+    "epoch": "train.epoch",
+    "batch_size": "train.batch_size",
+    "lr": "train.lr",
+    "multiplier": "train.multiplier",
+    "grad_clip": "train.grad_clip",
+    "img_size": "data.img_size",
+    "imagenet_root": "data.root",
+    "train_subset_ratio": "data.train_subset_ratio",
+    "use_full_dataset": "data.use_full_dataset",
+    "eval_freq": "train.eval_freq",
+    "metric_interval": "train.metric_interval",
+    "model_save_freq": "train.model_save_freq",
+    "training_load_weight": "train.training_load_weight",
+    "fine_tune_lr": "train.fine_tune_lr",
+    "time_embedding_strategy": "train.time_embedding_strategy",
+}
+
+
+def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
+    """Apply ``key=value`` strings (dotted or legacy-flat reference keys)."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value, got {ov!r}")
+        key, _, raw = ov.partition("=")
+        key = _LEGACY_MAP.get(key, key)
+        _set_dotted(cfg, key, coerce(raw))
+    return cfg
+
+
+def _update_dataclass(obj: Any, data: dict, prefix: str = "") -> None:
+    for k, v in data.items():
+        k = _LEGACY_MAP.get(k, k) if prefix == "" else k
+        if "." in k:
+            _set_dotted(obj, k, coerce(v) if isinstance(v, str) else v)
+            continue
+        if not hasattr(obj, k):
+            raise KeyError(f"unknown config key: {prefix}{k!r}")
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _update_dataclass(cur, v, prefix=f"{prefix}{k}.")
+        else:
+            v = coerce(v) if isinstance(v, str) else v
+            if isinstance(cur, tuple) and isinstance(v, (list, tuple)):
+                v = tuple(v)
+            setattr(obj, k, v)
+
+
+def load_config(yaml_path: Optional[str] = None,
+                overrides: Sequence[str] = ()) -> Config:
+    cfg = Config()
+    if yaml_path:
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f) or {}
+        _update_dataclass(cfg, data)
+    apply_overrides(cfg, overrides)
+    return cfg
+
+
+def to_dict(cfg: Config) -> dict:
+    return dataclasses.asdict(cfg)
