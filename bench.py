@@ -1,0 +1,148 @@
+"""Benchmark: images/sec/chip for CIFAR-10-scale DDPM ancestral sampling at
+fixed NFE (BASELINE.md workload 1: 32x32, T=1000, UNet ch=128 (1,2,2,2)
+attn@16x16, batch 8).
+
+Prints ONE JSON line:
+  {"metric": "images_per_sec_per_chip", "value": N, "unit": "img/s",
+   "vs_baseline": N, ...}
+
+Baseline = the PyTorch reference sampler on CPU (the hardware it actually
+ships with here). Measured live from /root/reference when importable (a few
+steps, extrapolated to full T), else read from bench_baseline.json
+(committed, measured on this machine).
+"""
+
+import json
+import os
+import sys
+import time
+
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+T = int(os.environ.get("BENCH_T", "1000"))
+IMG = 32
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_ours() -> dict:
+    import jax
+    import jax.numpy as jnp
+    from itsd_tpu.core import linear_schedule, sample
+    from itsd_tpu.models import UNet, uncond_unet_config
+
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    attn_impl = os.environ.get("BENCH_ATTN", "auto")
+    cfg = uncond_unet_config(ch=128, ch_mult=(1, 2, 2, 2), attn=(1,),
+                             num_res_blocks=2, dropout=0.1, dtype=dtype,
+                             attention_impl=attn_impl)
+    model = UNet(cfg)
+    sched = linear_schedule(1e-4, 0.02, T)
+    x = jnp.zeros((BATCH, IMG, IMG, 3), jnp.float32)
+    t = jnp.zeros((BATCH,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t)
+
+    eps_fn = lambda xx, tt: model.apply(params, xx, tt)
+    run = jax.jit(lambda noise, key: sample(sched, eps_fn, noise, key))
+
+    key = jax.random.PRNGKey(1)
+    noise = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+    log(f"[ours] compiling T={T} sampler (batch={BATCH}, dtype={dtype}, "
+        f"attn={attn_impl}) on {jax.devices()[0]} ...")
+    t0 = time.perf_counter()
+    out = run(noise, key)
+    out.block_until_ready()
+    compile_and_first = time.perf_counter() - t0
+    log(f"[ours] first run (incl compile): {compile_and_first:.1f}s")
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = run(noise, jax.random.PRNGKey(10 + i))
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    log(f"[ours] steady-state full-T times: {[f'{x:.3f}' for x in times]}")
+    return {
+        "images_per_sec": BATCH / best,
+        "seconds_per_image": best / BATCH,
+        "full_T_seconds": best,
+        "dtype": dtype,
+    }
+
+
+def measure_torch_baseline() -> dict:
+    """Reference UNet + per-step sampler math on CPU torch; a few steps
+    timed and extrapolated to full T."""
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from Diffusion.Model import UNet as TorchUNet  # noqa
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+        net = TorchUNet(T=T, ch=128, ch_mult=[1, 2, 2, 2], attn=[1],
+                        num_res_blocks=2, dropout=0.1).eval()
+        x = torch.randn(BATCH, 3, IMG, IMG)
+        tt = torch.full((BATCH,), T - 1, dtype=torch.long)
+        # warmup
+        net(x, tt)
+        n_steps = int(os.environ.get("BENCH_TORCH_STEPS", "5"))
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            eps = net(x, tt)
+            x = x - 0.01 * eps  # per-step elementwise update (negligible)
+        dt = (time.perf_counter() - t0) / n_steps
+    return {
+        "images_per_sec": BATCH / (dt * T),
+        "seconds_per_step": dt,
+        "extrapolated_full_T_seconds": dt * T,
+        "hardware": "cpu",
+    }
+
+
+def get_baseline() -> dict:
+    if os.environ.get("BENCH_SKIP_TORCH") != "1" and \
+            os.path.isdir("/root/reference"):
+        try:
+            log("[baseline] measuring torch reference on CPU ...")
+            b = measure_torch_baseline()
+            log(f"[baseline] {b}")
+            try:
+                with open(BASELINE_CACHE, "w") as f:
+                    json.dump(b, f, indent=2)
+            except OSError:
+                pass
+            return b
+        except Exception as e:  # pragma: no cover
+            log(f"[baseline] live measurement failed: {e}")
+    if os.path.isfile(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)
+    return {"images_per_sec": None}
+
+
+def main():
+    ours = measure_ours()
+    base = get_baseline()
+    vs = (ours["images_per_sec"] / base["images_per_sec"]
+          if base.get("images_per_sec") else None)
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip",
+        "value": round(ours["images_per_sec"], 4),
+        "unit": "img/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "detail": {
+            "workload": f"CIFAR10-uncond DDPM sample T={T} batch={BATCH}",
+            "ours": ours,
+            "baseline_torch_cpu": base,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,501 @@
+"""End-to-end pipelines: train / eval / metric-tracked inference / search /
+T-extension fine-tune.
+
+This is the orchestration layer over the pure core — the TPU rebuild of the
+reference's training and eval loops:
+  train()                  — C23 `Diffusion/Train.py:404-805` +
+                             C28 `DiffusionFreeGuidence/TrainCondition.py:21-115`
+  evaluate()               — C27 `Train.py:808-843` + C29 `TrainCondition.py:118-151`
+  sample_with_metrics()    — C24 `Train.py:25-166` / C31 `abstract_metrics…py`
+  run_search()             — wires search+verifiers to a CLI (the reference
+                             ships the search library un-wired; SURVEY §1 L3)
+  finetune_extended_T()    — C30 `fine_tune_extended_T.py`
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import (linear_schedule, make_cfg_eps_fn, sample,
+                    sample_with_snapshots)
+from ..data import (BatchIterator, load_cifar10, load_image_folder,
+                    synthetic_dataset)
+from ..models import UNet, ViT, ViTConfig, cond_unet_config, \
+    uncond_unet_config
+from ..parallel import make_mesh, param_sharding, shard_batch
+from ..train import (OptimizerConfig, create_train_state, make_optimizer,
+                     make_train_step)
+from ..train.checkpoint import (restore_checkpoint, restore_params,
+                                save_checkpoint, save_params)
+from ..train.surgery import (detect_checkpoint_T, extend_time_embedding,
+                             freeze_except_time_embedding)
+from ..utils import Config, MetricsLogger, save_image_grid
+from ..utils.plotting import plot_loss_curve, plot_metrics_curves
+
+
+# ---------------------------------------------------------------------------
+# Builders
+
+
+def build_model(cfg: Config):
+    m = cfg.model
+    if m.backbone == "vit":
+        vcfg = ViTConfig(img_size=cfg.data.img_size, patch_size=m.patch_size,
+                         embed_dim=m.embed_dim, depth=m.depth,
+                         num_heads=m.num_heads, mlp_ratio=m.mlp_ratio,
+                         dropout=m.dropout, attention_impl=m.attention_impl,
+                         dtype=m.dtype)
+        return ViT(vcfg), False
+    conditional = m.num_labels is not None
+    if conditional:
+        ucfg = cond_unet_config(
+            num_labels=m.num_labels, ch=m.channel,
+            ch_mult=tuple(m.channel_mult), num_res_blocks=m.num_res_blocks,
+            dropout=m.dropout, T=cfg.diffusion.T, dtype=m.dtype,
+            attention_impl=m.attention_impl)
+        if m.time_embed == "functional":
+            import dataclasses as _dc
+            ucfg = _dc.replace(ucfg, time_embed="functional")
+    else:
+        ucfg = uncond_unet_config(
+            ch=m.channel, ch_mult=tuple(m.channel_mult),
+            attn=tuple(m.attn), num_res_blocks=m.num_res_blocks,
+            dropout=m.dropout, T=cfg.diffusion.T, time_embed=m.time_embed,
+            dtype=m.dtype, attention_impl=m.attention_impl)
+    return UNet(ucfg), conditional
+
+
+def build_schedule(cfg: Config, inference: bool = False):
+    d = cfg.diffusion
+    T = d.inference_T if (inference and d.inference_T) else d.T
+    return linear_schedule(d.beta_1, d.beta_T, T)
+
+
+def load_dataset(cfg: Config):
+    d = cfg.data
+    ratio = None if d.use_full_dataset else d.train_subset_ratio
+    if d.dataset == "cifar10":
+        return load_cifar10(d.root, train=True, subset_ratio=ratio,
+                            seed=d.seed)
+    if d.dataset == "imagefolder":
+        return load_image_folder(d.root, img_size=d.img_size,
+                                 subset_ratio=ratio, seed=d.seed)
+    if d.dataset == "synthetic":
+        n_labels = cfg.model.num_labels or 10
+        return synthetic_dataset(n=max(cfg.train.batch_size * 4, 256),
+                                 img_size=d.img_size, num_labels=n_labels,
+                                 seed=d.seed)
+    raise ValueError(f"unknown dataset: {d.dataset!r}")
+
+
+def init_params(cfg: Config, model, conditional: bool):
+    x = jnp.zeros((2, cfg.data.img_size, cfg.data.img_size, 3))
+    t = jnp.zeros((2,), jnp.int32)
+    if conditional:
+        return model.init(jax.random.PRNGKey(cfg.seed), x, t,
+                          jnp.zeros((2,), jnp.int32))
+    return model.init(jax.random.PRNGKey(cfg.seed), x, t)
+
+
+def make_eps_fn(model, params, conditional: bool, labels=None,
+                w: float = 0.0):
+    """eps_fn(x, t) for the sampler: plain for unconditional, dual-batched
+    CFG mix for conditional (`DiffusionCondition.py:79-87` semantics)."""
+    if not conditional:
+        return lambda x, t: model.apply(params, x, t)
+    assert labels is not None
+    return make_cfg_eps_fn(
+        lambda x, t, lab: model.apply(params, x, t, lab), labels, w)
+
+
+# ---------------------------------------------------------------------------
+# Train
+
+
+def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
+    """Full training loop. Returns summary dict (final loss, ckpt paths)."""
+    model, conditional = build_model(cfg)
+    sched = build_schedule(cfg)
+    images, labels = load_dataset(cfg)
+    it = BatchIterator(images, labels if conditional else None,
+                       cfg.train.batch_size, seed=cfg.data.seed)
+    steps_per_epoch = max(len(it), 1)
+
+    params = init_params(cfg, model, conditional)
+    if cfg.train.training_load_weight:
+        params = restore_params(
+            os.path.join(cfg.save_weight_dir, cfg.train.training_load_weight),
+            template=params)
+
+    tx = make_optimizer(OptimizerConfig(
+        lr=cfg.train.lr, weight_decay=cfg.train.weight_decay,
+        grad_clip=cfg.train.grad_clip, multiplier=cfg.train.multiplier,
+        epochs=cfg.train.epoch, steps_per_epoch=steps_per_epoch,
+        ema_decay=cfg.train.ema_decay))
+    state = create_train_state(params, tx,
+                               ema=cfg.train.ema_decay is not None)
+
+    mesh = make_mesh(axis_names=("data",))
+    shardings = param_sharding(state.params, mesh)
+    state = state.replace(
+        params=jax.tree.map(jax.device_put, state.params, shardings),
+        ema_params=(jax.tree.map(jax.device_put, state.ema_params, shardings)
+                    if state.ema_params is not None else None))
+
+    step_fn = make_train_step(
+        lambda p, *a, **kw: model.apply(p, *a, **kw), sched, tx,
+        conditional=conditional,
+        loss_reduction=cfg.train.loss_reduction,
+        label_dropout=cfg.train.label_dropout,
+        ema_decay=cfg.train.ema_decay)
+
+    # Representation-extraction hook (C28, `TrainCondition.py:66-107`):
+    # every `extract_representation_freq` batches, capture the pre-tail
+    # activation for the batch; saved per-epoch as .npz.
+    extract_freq = cfg.train.extract_representation_freq
+    if extract_freq and conditional:
+        @jax.jit
+        def repr_fn(params, x, t, labels):
+            _, rep = model.apply(params, x, t, labels,
+                                 return_representation=True)
+            return rep
+    else:
+        repr_fn = None
+
+    logger = MetricsLogger(
+        os.path.join(cfg.metrics_save_dir, "train_metrics.jsonl"),
+        also_print=True)
+    key = jax.random.PRNGKey(cfg.seed)
+    losses = []
+    ckpts = []
+    step = 0
+    t0 = time.time()
+    for epoch in range(cfg.train.epoch):
+        epoch_loss = None
+        epoch_reprs, epoch_repr_labels = [], []
+        for batch_i, batch in enumerate(it):
+            if conditional:
+                hbatch = {"image": batch["image"], "label": batch["label"]}
+            else:
+                hbatch = {"image": batch["image"]}
+            hbatch = shard_batch(hbatch, mesh)
+            key, skey = jax.random.split(key)
+            state, metrics = step_fn(state, hbatch, skey)
+            step += 1
+            epoch_loss = metrics["loss"]
+            losses.append(float(epoch_loss))
+            if (repr_fn is not None and extract_freq
+                    and batch_i % extract_freq == 0):
+                labels_p1 = jnp.asarray(batch["label"]) + 1
+                t_mid = jnp.full((batch["image"].shape[0],), sched.T // 2,
+                                 jnp.int32)
+                rep = repr_fn(state.params, jnp.asarray(batch["image"]),
+                              t_mid, labels_p1)
+                # global-average-pool spatial dims for compact storage
+                epoch_reprs.append(np.asarray(rep.mean(axis=(1, 2))))
+                epoch_repr_labels.append(np.asarray(batch["label"]))
+            if max_steps is not None and step >= max_steps:
+                break
+        if epoch_reprs and cfg.train.save_representations:
+            rep_dir = os.path.join(cfg.save_weight_dir, "representations")
+            os.makedirs(rep_dir, exist_ok=True)
+            np.savez(os.path.join(rep_dir, f"epoch_{epoch}.npz"),
+                     representations=np.concatenate(epoch_reprs),
+                     labels=np.concatenate(epoch_repr_labels))
+        logger.log({"epoch": epoch, "step": step,
+                    "loss": float(epoch_loss),
+                    "elapsed_s": time.time() - t0})
+        if (epoch + 1) % cfg.train.model_save_freq == 0 or \
+                epoch == cfg.train.epoch - 1:
+            path = os.path.join(cfg.save_weight_dir, f"ckpt_{epoch}")
+            save_checkpoint(path, jax.device_get(state))
+            ckpts.append(path)
+        if (epoch + 1) % cfg.train.eval_freq == 0:
+            _sample_grid_during_training(cfg, model, state, conditional,
+                                         epoch, key)
+        if max_steps is not None and step >= max_steps:
+            break
+
+    plot_loss_curve(losses, os.path.join(cfg.metrics_save_dir,
+                                         "loss_curve.png"))
+    logger.close()
+    return {"final_loss": losses[-1] if losses else None,
+            "steps": step, "checkpoints": ckpts, "state": state}
+
+
+def _sample_grid_during_training(cfg, model, state, conditional, epoch, key):
+    sched = build_schedule(cfg, inference=True)
+    eval_bs = cfg.train.eval_batch_size or min(cfg.train.batch_size, 64)
+    params = state.ema_params if state.ema_params is not None else state.params
+    kx, ks = jax.random.split(jax.random.fold_in(key, epoch))
+    x_T = jax.random.normal(kx, (eval_bs, cfg.data.img_size,
+                                 cfg.data.img_size, 3))
+    if conditional:
+        labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
+        eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
+    else:
+        eps_fn = make_eps_fn(model, params, False)
+    imgs = sample(sched, eps_fn, x_T, ks)
+    save_image_grid(np.asarray(imgs),
+                    os.path.join(cfg.sampled_dir,
+                                 f"epoch_{epoch}_sampled.png"),
+                    nrow=cfg.nrow)
+
+
+# ---------------------------------------------------------------------------
+# Eval (C27/C29)
+
+
+def evaluate(cfg: Config, params=None) -> dict:
+    model, conditional = build_model(cfg)
+    if params is None:
+        assert cfg.test_load_weight, "eval needs test_load_weight"
+        template = init_params(cfg, model, conditional)
+        ckpt_T = None
+        try:
+            restored = restore_checkpoint(
+                os.path.join(cfg.save_weight_dir, cfg.test_load_weight))
+            params = restored.ema_params or restored.params
+        except Exception:
+            params = restore_params(
+                os.path.join(cfg.save_weight_dir, cfg.test_load_weight),
+                template=template)
+        # cross-T surgery if table embedding and inference_T differs
+        ckpt_T = detect_checkpoint_T(params)
+        want_T = cfg.diffusion.inference_T or cfg.diffusion.T
+        if ckpt_T is not None and ckpt_T != want_T:
+            params = extend_time_embedding(
+                params, want_T, strategy=cfg.train.time_embedding_strategy)
+
+    sched = build_schedule(cfg, inference=True)
+    eval_bs = cfg.train.eval_batch_size or min(cfg.train.batch_size, 64)
+    key = jax.random.PRNGKey(cfg.seed)
+    kx, ks = jax.random.split(key)
+    x_T = jax.random.normal(kx, (eval_bs, cfg.data.img_size,
+                                 cfg.data.img_size, 3))
+    if conditional:
+        labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
+        eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
+    else:
+        eps_fn = make_eps_fn(model, params, False)
+
+    # save the initial noise grid too (reference saves both,
+    # `Train.py:826-836`)
+    os.makedirs(cfg.sampled_dir, exist_ok=True)
+    save_image_grid(np.asarray(jnp.clip(x_T * 0.5, -1, 1)),
+                    os.path.join(cfg.sampled_dir, "noisy.png"),
+                    nrow=cfg.nrow)
+    imgs = sample(sched, eps_fn, x_T, ks)
+    out_path = os.path.join(cfg.sampled_dir, "sampled.png")
+    save_image_grid(np.asarray(imgs), out_path, nrow=cfg.nrow)
+    return {"images": np.asarray(imgs), "path": out_path}
+
+
+# ---------------------------------------------------------------------------
+# Metric-tracked inference (C24/C31)
+
+
+def sample_with_metrics(cfg: Config, params, feature_fn=None,
+                        logit_fn=None, real_features=None) -> dict:
+    """Sample while tracking FID/IS every `metric_interval` denoising steps.
+
+    On-device snapshot collection (core.sample_with_snapshots), host-side
+    float64 Fréchet — the reference recomputed Inception forward passes
+    inside its Python sampling loop (`Train.py:25-166`).
+    feature_fn/logit_fn are pluggable extractors (see `metrics.features`).
+    """
+    from ..metrics import frechet_distance, gaussian_stats
+    from ..metrics.is_score import inception_score
+
+    model, conditional = build_model(cfg)
+    sched = build_schedule(cfg, inference=True)
+    eval_bs = cfg.train.eval_batch_size or min(cfg.train.batch_size, 64)
+    key = jax.random.PRNGKey(cfg.seed)
+    kx, ks = jax.random.split(key)
+    x_T = jax.random.normal(kx, (eval_bs, cfg.data.img_size,
+                                 cfg.data.img_size, 3))
+    if conditional:
+        labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
+        eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
+    else:
+        eps_fn = make_eps_fn(model, params, False)
+
+    x0, ts, snaps = sample_with_snapshots(
+        sched, eps_fn, x_T, ks, interval=cfg.train.metric_interval)
+
+    history = []
+    mu_r = sigma_r = None
+    if real_features is not None:
+        mu_r, sigma_r = gaussian_stats(real_features)
+    for i, t in enumerate(np.asarray(ts)):
+        snap = jnp.clip(snaps[i], -1, 1)
+        unit = (np.asarray(snap) + 1.0) / 2.0
+        fid = float("nan")
+        is_mean = float("nan")
+        clip_s = float("nan")
+        if feature_fn is not None and mu_r is not None:
+            try:
+                feats = np.asarray(feature_fn(jnp.asarray(unit)))
+                mu_f, sigma_f = gaussian_stats(feats)
+                fid = frechet_distance(mu_r, sigma_r, mu_f, sigma_f)
+            except Exception:
+                pass
+        if logit_fn is not None:
+            try:
+                is_mean, _ = inception_score(logit_fn, jnp.asarray(unit),
+                                             splits=2)
+            except Exception:
+                pass
+        history.append((int(t), fid, is_mean, clip_s))
+
+    os.makedirs(cfg.metrics_save_dir, exist_ok=True)
+    with open(os.path.join(cfg.metrics_save_dir,
+                           "metrics_history.json"), "w") as f:
+        json.dump([{"t": h[0], "fid": h[1], "is": h[2], "clip": h[3]}
+                   for h in history], f, indent=2, default=float)
+    plot_metrics_curves(history,
+                        os.path.join(cfg.metrics_save_dir,
+                                     "metrics_curves.png"), T=sched.T)
+    # descriptive filename like `abstract_metrics…py:554-601`
+    final_fid = history[-1][1] if history else float("nan")
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    name = (f"sampled_T{sched.T}_bs{eval_bs}_fid{final_fid:.2f}_{stamp}.png")
+    save_image_grid(np.asarray(x0), os.path.join(cfg.sampled_dir, name),
+                    nrow=cfg.nrow)
+    return {"images": np.asarray(x0), "history": history}
+
+
+# ---------------------------------------------------------------------------
+# Search CLI (un-wired in the reference)
+
+
+def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
+    from ..search import (aesthetic_score, batch_pixel_variance_score,
+                          gradient_search, path_search, random_search,
+                          self_supervised_verifier, zero_order_search)
+
+    model, conditional = build_model(cfg)
+    if params is None:
+        assert cfg.test_load_weight, "search needs test_load_weight"
+        params = restore_params(
+            os.path.join(cfg.save_weight_dir, cfg.test_load_weight),
+            template=init_params(cfg, model, conditional))
+    sched = build_schedule(cfg, inference=True)
+    s = cfg.search
+    eval_bs = cfg.train.eval_batch_size or 8
+    shape = (eval_bs, cfg.data.img_size, cfg.data.img_size, 3)
+
+    if conditional:
+        labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
+        eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
+    else:
+        eps_fn = make_eps_fn(model, params, False)
+    denoise_fn = lambda noise, k: sample(sched, eps_fn, noise, k)
+
+    if verifier_fn is None:
+        verifier_fn = {
+            "oracle": batch_pixel_variance_score,
+            "self_supervised": self_supervised_verifier(),
+            "aesthetic": aesthetic_score,
+        }.get(s.verifier)
+        if verifier_fn is None:
+            raise ValueError(f"verifier {s.verifier!r} needs to be passed "
+                             "explicitly (requires weights/conditions)")
+
+    key = jax.random.PRNGKey(cfg.seed)
+    if s.algorithm == "random":
+        res = random_search(key, shape, denoise_fn, verifier_fn,
+                            n_candidates=s.n_candidates)
+    elif s.algorithm == "zero_order":
+        init = jax.random.normal(jax.random.fold_in(key, 0), shape)
+        res = zero_order_search(key, init, denoise_fn, verifier_fn,
+                                n_neighbors=s.n_neighbors,
+                                lambda_radius=s.lambda_radius,
+                                n_iterations=s.n_iterations,
+                                neighbor_mode=s.neighbor_mode,
+                                return_images=True)
+    elif s.algorithm == "path":
+        res = path_search(key, sched, eps_fn, verifier_fn, shape,
+                          n_paths=s.n_paths, n_active=s.n_active,
+                          injection_steps=tuple(s.injection_steps),
+                          delta_f=s.delta_f)
+    elif s.algorithm == "gradient":
+        init = jax.random.normal(jax.random.fold_in(key, 0), shape)
+        res = gradient_search(key, init, sched, eps_fn, verifier_fn,
+                              n_iterations=s.n_iterations, lr=s.gradient_lr,
+                              return_images=True)
+    else:
+        raise ValueError(f"unknown search algorithm: {s.algorithm!r}")
+
+    os.makedirs(cfg.sampled_dir, exist_ok=True)
+    if res.best_images is not None:
+        save_image_grid(np.asarray(res.best_images),
+                        os.path.join(cfg.sampled_dir,
+                                     f"search_{s.algorithm}_best.png"),
+                        nrow=cfg.nrow)
+    return {"best_score": float(res.best_score), "nfes": res.nfes,
+            "result": res}
+
+
+# ---------------------------------------------------------------------------
+# T-extension fine-tune (C30)
+
+
+def finetune_extended_T(cfg: Config, max_steps: Optional[int] = None) -> dict:
+    """Load a checkpoint trained at some T, extend the time embedding to the
+    configured (larger) T, freeze everything else, fine-tune."""
+    model, conditional = build_model(cfg)
+    sched = build_schedule(cfg)  # the NEW (extended) T
+    template = init_params(cfg, model, conditional)
+    assert cfg.test_load_weight, "finetune needs test_load_weight"
+    params = restore_params(
+        os.path.join(cfg.save_weight_dir, cfg.test_load_weight),
+        template=None)
+    ckpt_T = detect_checkpoint_T(params)
+    if ckpt_T is not None and ckpt_T != cfg.diffusion.T:
+        params = extend_time_embedding(
+            params, cfg.diffusion.T,
+            strategy=cfg.train.time_embedding_strategy)
+
+    images, labels = load_dataset(cfg)
+    it = BatchIterator(images, labels if conditional else None,
+                       cfg.train.batch_size, seed=cfg.data.seed)
+
+    base_tx = make_optimizer(OptimizerConfig(
+        lr=cfg.train.fine_tune_lr, weight_decay=cfg.train.weight_decay,
+        grad_clip=cfg.train.grad_clip, multiplier=cfg.train.multiplier,
+        epochs=cfg.train.epoch, steps_per_epoch=max(len(it), 1),
+        ema_decay=None))
+    tx = freeze_except_time_embedding(base_tx, params)
+    state = create_train_state(params, tx, ema=False)
+    step_fn = make_train_step(
+        lambda p, *a, **kw: model.apply(p, *a, **kw), sched, tx,
+        conditional=conditional, ema_decay=None)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    losses = []
+    step = 0
+    ckpts = []
+    for epoch in range(cfg.train.epoch):
+        for batch in it:
+            key, skey = jax.random.split(key)
+            state, metrics = step_fn(state, batch, skey)
+            losses.append(float(metrics["loss"]))
+            step += 1
+            if max_steps is not None and step >= max_steps:
+                break
+        path = os.path.join(cfg.save_weight_dir,
+                            f"fine_tuned_T{cfg.diffusion.T}_epoch_{epoch}")
+        save_params(path, jax.device_get(state.params))
+        ckpts.append(path)
+        if max_steps is not None and step >= max_steps:
+            break
+    return {"final_loss": losses[-1] if losses else None,
+            "checkpoints": ckpts, "state": state, "ckpt_T_detected": ckpt_T}

@@ -52,6 +52,11 @@ def _attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                   scale: float, kv_blocks: int):
     kb = pl.program_id(2)
+    # f32 operands need HIGHEST to avoid bf16 truncation; bf16 operands must
+    # use default precision (Mosaic rejects an fp32-contract annotation on
+    # bf16 inputs) — accumulation is f32 either way via preferred_element_type.
+    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+            else None)
 
     @pl.when(kb == 0)
     def _init():
@@ -64,7 +69,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     v = v_ref[0]  # [bk, c]
 
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) * scale  # [bq,bk]
+                precision=prec) * scale  # [bq,bk]
     m_prev = m_ref[:, 0]
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
     correction = jnp.exp(m_prev - m_cur)
@@ -74,7 +79,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     acc_ref[:] = (acc_ref[:] * correction[:, None]
                   + jnp.dot(p.astype(v.dtype), v,
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST))
+                            precision=prec))
 
     @pl.when(kb == kv_blocks - 1)
     def _finish():

@@ -67,6 +67,10 @@ class TrainCfg:
     fid_num_real_samples: int = 5000
     clip_num_real_samples: int = 5000
     training_load_weight: Optional[str] = None
+    # representation extraction during training (TrainCondition.py:66-107);
+    # 0 disables
+    extract_representation_freq: int = 0
+    save_representations: bool = True
     # T-extension fine-tune
     fine_tune_lr: float = 1e-5
     freeze_except_time_embedding: bool = False
@@ -146,6 +150,8 @@ def coerce(value: str) -> Any:
 def _set_dotted(obj: Any, dotted: str, value: Any) -> None:
     parts = dotted.split(".")
     for p in parts[:-1]:
+        if not hasattr(obj, p):
+            raise KeyError(f"unknown config key: {dotted!r}")
         obj = getattr(obj, p)
     name = parts[-1]
     if not hasattr(obj, name):

@@ -1,0 +1,130 @@
+"""End-to-end integration: tiny train -> sample -> search on synthetic data,
+all through the CLI config path. The tiny-fixture analogue of the
+reference's full-system runs (SURVEY §4 recommends exactly this)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from itsd_tpu.utils import Config, apply_overrides
+
+
+def _tiny_cfg(tmp_path, conditional=False):
+    cfg = Config()
+    apply_overrides(cfg, [
+        "data.dataset=synthetic", "data.img_size=8",
+        "model.channel=16", "model.channel_mult=[1]",
+        "model.attn=[]", "model.num_res_blocks=1", "model.dropout=0.0",
+        "diffusion.T=8",
+        "train.epoch=2", "train.batch_size=8", "train.eval_freq=100",
+        "train.model_save_freq=1", "train.eval_batch_size=4",
+    ])
+    if conditional:
+        apply_overrides(cfg, ["model.num_labels=10",
+                              "model.time_embed=table",
+                              "train.loss_reduction=sum_div_b2",
+                              "diffusion.w=1.8"])
+    cfg.save_weight_dir = str(tmp_path / "ckpt")
+    cfg.sampled_dir = str(tmp_path / "sampled")
+    cfg.metrics_save_dir = str(tmp_path / "metrics")
+    return cfg
+
+
+def test_train_then_eval_uncond(tmp_path):
+    from itsd_tpu.cli import runner
+    cfg = _tiny_cfg(tmp_path)
+    out = runner.train(cfg, max_steps=6)
+    assert out["final_loss"] is not None and np.isfinite(out["final_loss"])
+    assert out["checkpoints"]
+    # eval from the saved checkpoint
+    cfg.test_load_weight = os.path.basename(out["checkpoints"][-1])
+    ev = runner.evaluate(cfg)
+    assert ev["images"].shape == (4, 8, 8, 3)
+    assert os.path.exists(ev["path"])
+    assert os.path.exists(os.path.join(cfg.metrics_save_dir,
+                                       "train_metrics.jsonl"))
+    assert os.path.exists(os.path.join(cfg.metrics_save_dir,
+                                       "loss_curve.png"))
+
+
+def test_train_cfg_conditional(tmp_path):
+    from itsd_tpu.cli import runner
+    cfg = _tiny_cfg(tmp_path, conditional=True)
+    out = runner.train(cfg, max_steps=4)
+    assert np.isfinite(out["final_loss"])
+    ev = runner.evaluate(cfg, params=out["state"].params)
+    assert ev["images"].shape == (4, 8, 8, 3)
+
+
+def test_search_cli_path(tmp_path):
+    from itsd_tpu.cli import runner
+    cfg = _tiny_cfg(tmp_path)
+    out = runner.train(cfg, max_steps=2)
+    cfg.test_load_weight = None
+    for algo in ("random", "zero_order", "path"):
+        apply_overrides(cfg, [f"search.algorithm={algo}",
+                              "search.n_candidates=2",
+                              "search.n_iterations=2",
+                              "search.n_neighbors=2",
+                              "search.n_paths=2", "search.n_active=1",
+                              "search.injection_steps=[4]",
+                              "search.delta_f=2"])
+        res = runner.run_search(cfg, params=out["state"].params)
+        assert np.isfinite(res["best_score"]), algo
+        assert res["nfes"] > 0
+
+
+def test_metric_tracked_sampling(tmp_path):
+    from itsd_tpu.cli import runner
+    cfg = _tiny_cfg(tmp_path)
+    apply_overrides(cfg, ["train.metric_interval=4"])
+    out = runner.train(cfg, max_steps=2)
+
+    def feature_fn(unit_images):
+        return unit_images.reshape(unit_images.shape[0], -1)[:, :16]
+
+    real_feats = np.random.default_rng(0).uniform(
+        0, 1, (64, 16)).astype(np.float32)
+    res = runner.sample_with_metrics(cfg, out["state"].params,
+                                     feature_fn=feature_fn,
+                                     real_features=real_feats)
+    assert len(res["history"]) == 2  # T=8, interval=4
+    fids = [h[1] for h in res["history"]]
+    assert all(np.isfinite(f) for f in fids)
+    assert os.path.exists(os.path.join(cfg.metrics_save_dir,
+                                       "metrics_history.json"))
+    assert os.path.exists(os.path.join(cfg.metrics_save_dir,
+                                       "metrics_curves.png"))
+
+
+def test_finetune_extended_T(tmp_path):
+    from itsd_tpu.cli import runner
+    from itsd_tpu.train.checkpoint import save_params
+    import jax
+
+    # train a tiny table-embedding model at T=8, then extend to T=16
+    cfg = _tiny_cfg(tmp_path, conditional=True)
+    out = runner.train(cfg, max_steps=2)
+    save_params(os.path.join(cfg.save_weight_dir, "base"),
+                jax.device_get(out["state"].params))
+
+    cfg2 = _tiny_cfg(tmp_path, conditional=True)
+    apply_overrides(cfg2, ["diffusion.T=16", "train.epoch=1"])
+    cfg2.test_load_weight = "base"
+    ft = runner.finetune_extended_T(cfg2, max_steps=2)
+    assert ft["ckpt_T_detected"] == 8
+    assert np.isfinite(ft["final_loss"])
+    assert ft["checkpoints"]
+
+
+def test_cli_main_smoke(tmp_path, capsys):
+    from itsd_tpu.cli.main import main
+    rc = main(["train", "data.dataset=synthetic", "data.img_size=8",
+               "model.channel=16", "model.channel_mult=[1]", "model.attn=[]",
+               "model.num_res_blocks=1", "diffusion.T=4", "train.epoch=1",
+               "train.batch_size=8", "train.eval_freq=100",
+               f"save_weight_dir={tmp_path}/ck",
+               f"sampled_dir={tmp_path}/s",
+               f"metrics_save_dir={tmp_path}/m"])
+    assert rc == 0

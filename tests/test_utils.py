@@ -1,0 +1,111 @@
+"""Config tree, overrides, data pipelines, image grids, logging."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from itsd_tpu.data import BatchIterator, synthetic_dataset
+from itsd_tpu.utils import (Config, apply_overrides, coerce, load_config,
+                            make_grid, save_image_grid, MetricsLogger)
+
+
+def test_coerce_reference_strings():
+    # mirrors Main.py:38-60 coercion
+    assert coerce("none") is None
+    assert coerce("null") is None
+    assert coerce("true") is True
+    assert coerce("False") is False
+    assert coerce("42") == 42
+    assert coerce("1e-4") == 1e-4
+    assert coerce("[1, 2, 3]") == (1, 2, 3)
+    assert coerce("hello") == "hello"
+
+
+def test_overrides_dotted_and_legacy():
+    cfg = Config()
+    apply_overrides(cfg, ["diffusion.T=500", "T=250"])  # legacy key wins last
+    assert cfg.diffusion.T == 250
+    apply_overrides(cfg, ["channel_mult=[1,4,8]", "inference_T=none",
+                          "train.lr=5e-5", "state=eval"])
+    assert cfg.model.channel_mult == (1, 4, 8)
+    assert cfg.diffusion.inference_T is None
+    assert cfg.train.lr == 5e-5
+    assert cfg.state == "eval"
+    with pytest.raises(KeyError):
+        apply_overrides(cfg, ["no.such.key=1"])
+
+
+def test_yaml_roundtrip(tmp_path):
+    y = tmp_path / "c.yaml"
+    y.write_text(
+        "state: eval\nT: 2000\nmodel:\n  channel: 64\n"
+        "data:\n  img_size: 64\n")
+    cfg = load_config(str(y), overrides=["beta_T=0.028"])
+    assert cfg.state == "eval"
+    assert cfg.diffusion.T == 2000
+    assert cfg.model.channel == 64
+    assert cfg.data.img_size == 64
+    assert cfg.diffusion.beta_T == 0.028
+
+
+def test_synthetic_dataset_and_iterator():
+    x, y = synthetic_dataset(n=64, img_size=16)
+    assert x.shape == (64, 16, 16, 3)
+    assert x.min() >= -1 and x.max() <= 1
+    it = BatchIterator(x, y, batch_size=16, seed=0)
+    batches = list(it)
+    assert len(batches) == 4
+    assert batches[0]["image"].shape == (16, 16, 16, 3)
+    assert batches[0]["label"].shape == (16,)
+    # two epochs shuffle differently
+    b2 = list(it)
+    assert not np.array_equal(batches[0]["image"], b2[0]["image"])
+
+
+def test_make_grid_and_save(tmp_path):
+    imgs = np.random.default_rng(0).uniform(-1, 1, (10, 8, 8, 3)).astype(
+        np.float32)
+    grid = make_grid(imgs, nrow=4)
+    # 3 rows of 4 with 2px padding
+    assert grid.shape == (3 * 10 + 2, 4 * 10 + 2, 3)
+    assert grid.dtype == np.uint8
+    p = tmp_path / "grid.png"
+    save_image_grid(imgs, str(p), nrow=4)
+    assert p.exists() and p.stat().st_size > 0
+
+
+def test_metrics_logger(tmp_path):
+    p = tmp_path / "log" / "metrics.jsonl"
+    lg = MetricsLogger(str(p), also_print=False)
+    lg.log({"step": 1, "loss": 0.5})
+    lg.log({"step": 2, "loss": 0.25})
+    lg.close()
+    lines = [json.loads(l) for l in p.read_text().splitlines()]
+    assert lines[0]["loss"] == 0.5 and lines[1]["step"] == 2
+    assert "time" in lines[0]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from itsd_tpu.train import (OptimizerConfig, create_train_state,
+                                make_optimizer)
+    from itsd_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    params = {"params": {"w": jnp.arange(6.0).reshape(2, 3),
+                         "b": jnp.zeros(3)}}
+    tx = make_optimizer(OptimizerConfig())
+    state = create_train_state(params, tx)
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    restored = restore_checkpoint(path, state)
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["params"]["w"]),
+        np.asarray(params["params"]["w"]))
+    np.testing.assert_array_equal(
+        np.asarray(restored.ema_params["params"]["w"]),
+        np.asarray(params["params"]["w"]))
