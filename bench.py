@@ -78,10 +78,17 @@ def measure_ours() -> dict:
 def measure_torch_baseline() -> dict:
     """Reference UNet + per-step sampler math on CPU torch; a few steps
     timed and extrapolated to full T."""
+    import importlib.util
+
     import torch
 
-    sys.path.insert(0, "/root/reference")
-    from Diffusion.Model import UNet as TorchUNet  # noqa
+    # load Model.py directly: the Diffusion package __init__ pulls in
+    # torchvision, which is not installed here
+    spec = importlib.util.spec_from_file_location(
+        "ref_model", "/root/reference/Diffusion/Model.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    TorchUNet = mod.UNet
 
     torch.manual_seed(0)
     with torch.no_grad():

@@ -217,13 +217,23 @@ def convert_transformers_clip(model_or_sd, vision_heads: Optional[int] = None,
     return params
 
 
+def model_image_size(params: Dict) -> int:
+    """Infer the vision tower's native input size from its weights."""
+    p = params["vision"]
+    patch = p["patch_embedding"].shape[0]
+    n_patches = p["position_embedding"].shape[0] - 1
+    side = int(round(float(n_patches) ** 0.5))
+    return side * patch
+
+
 def clip_similarity(params: Dict, images: jnp.ndarray,
                     token_ids: jnp.ndarray,
                     normalize_images: bool = True) -> jnp.ndarray:
     """Per-pair cosine similarity (diagonal), the reference's CLIPScore
     semantics (`utils/metrics.py:502-548`)."""
     img = clip_image_features(params, preprocess(
-        images, normalize=normalize_images))
+        images, image_size=model_image_size(params),
+        normalize=normalize_images))
     txt = clip_text_features(params, token_ids)
     img = img / (jnp.linalg.norm(img, axis=-1, keepdims=True) + 1e-8)
     txt = txt / (jnp.linalg.norm(txt, axis=-1, keepdims=True) + 1e-8)

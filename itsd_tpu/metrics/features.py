@@ -1,0 +1,78 @@
+"""Feature-extractor registry for FID/IS/verifiers.
+
+Priority:
+1. Pretrained Inception-V3 (torchvision ``.pth`` at $ITSD_INCEPTION_WEIGHTS
+   or an explicit path) — numerically matches the reference's FID
+   (`utils/metrics.py:33-49`).
+2. Deterministic random-weight Inception-V3 (same topology, fixed seed) —
+   a documented proxy: FID values are not comparable to published numbers
+   but are discriminative and stable, which is what search/verifier scoring
+   needs (zero-egress environments cannot download weights).
+3. Pooled-pixel features — cheapest fallback, used by the self-supervised
+   verifier anyway (`search/verifier.py:207-221`).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .inception import (inception_v3, init_random_params,
+                        load_torchvision_inception, preprocess)
+
+FeatureFn = Callable[[jnp.ndarray], jnp.ndarray]
+
+INCEPTION_ENV = "ITSD_INCEPTION_WEIGHTS"
+
+
+@functools.lru_cache(maxsize=2)
+def _inception_params(weights_path: Optional[str]):
+    if weights_path:
+        return load_torchvision_inception(weights_path), "pretrained"
+    return init_random_params(jax.random.PRNGKey(42)), "random"
+
+
+def make_inception_extractors(
+        weights_path: Optional[str] = None,
+        batch_size: int = 64) -> Tuple[FeatureFn, FeatureFn, str]:
+    """Returns (feature_fn [B,2048], logit_fn [B,1000], provenance).
+    Inputs are [B,H,W,C] in [0,1]."""
+    weights_path = weights_path or os.environ.get(INCEPTION_ENV) or None
+    params, provenance = _inception_params(weights_path)
+
+    @jax.jit
+    def _run(x):
+        return inception_v3(params, preprocess(x))
+
+    def feature_fn(images):
+        return _run(images)[0]
+
+    def logit_fn(images):
+        return _run(images)[1]
+
+    return feature_fn, logit_fn, provenance
+
+
+def pixel_feature_fn(pool_hw: int = 8) -> FeatureFn:
+    """Pooled-pixel features — no weights needed."""
+    from ..search.verifiers import adaptive_avg_pool
+
+    def feature_fn(images):
+        return adaptive_avg_pool(images, pool_hw).reshape(
+            images.shape[0], -1)
+
+    return feature_fn
+
+
+def default_extractors(prefer_inception: bool = True):
+    """Best-available (feature_fn, logit_fn, provenance)."""
+    if prefer_inception:
+        try:
+            return make_inception_extractors()
+        except Exception:
+            pass
+    return pixel_feature_fn(), None, "pixel"

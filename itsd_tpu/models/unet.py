@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..kernels.attention import spatial_attention
+from ..kernels.groupnorm import groupnorm_swish
 from .embeddings import (ConditionalEmbedding, FunctionalTimeEmbedding,
                          TableTimeEmbedding, tiny_xavier, xavier, zeros)
 
@@ -87,6 +88,23 @@ def _groups(ch: int) -> int:
     return min(32, ch)
 
 
+class GNAct(nn.Module):
+    """GroupNorm with optional fused swish — param-compatible with
+    nn.GroupNorm ({scale, bias}), backed by the Pallas fused kernel on TPU
+    (kernels/groupnorm.py); stats always in f32."""
+    act: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        y = groupnorm_swish(x, scale, bias, groups=_groups(C), eps=1e-5,
+                            act=self.act)
+        return y.astype(self.dtype)
+
+
 class AttnBlock(nn.Module):
     """Single-head spatial self-attention with residual, scale C**-0.5.
 
@@ -100,9 +118,7 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=_groups(C), epsilon=1e-5,
-                         dtype=jnp.float32, name="norm")(x)
-        h = h.astype(self.dtype)
+        h = GNAct(act=False, dtype=self.dtype, name="norm")(x)
         q = nn.Dense(C, kernel_init=xavier, bias_init=zeros,
                      dtype=self.dtype, name="q")(h)
         k = nn.Dense(C, kernel_init=xavier, bias_init=zeros,
@@ -131,9 +147,7 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb, cemb=None, *, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=_groups(in_ch), epsilon=1e-5,
-                         dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
-        h = nn.silu(h)
+        h = GNAct(act=True, dtype=self.dtype, name="norm1")(x)
         h = nn.Conv(self.out_ch, (3, 3), kernel_init=xavier, bias_init=zeros,
                     dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_ch, kernel_init=xavier, bias_init=zeros,
@@ -143,9 +157,7 @@ class ResBlock(nn.Module):
             c = nn.Dense(self.out_ch, kernel_init=xavier, bias_init=zeros,
                          dtype=self.dtype, name="cond_proj")(nn.silu(cemb))
             h = h + c[:, None, None, :]
-        h = nn.GroupNorm(num_groups=_groups(self.out_ch), epsilon=1e-5,
-                         dtype=jnp.float32, name="norm2")(h).astype(self.dtype)
-        h = nn.silu(h)
+        h = GNAct(act=True, dtype=self.dtype, name="norm2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_ch, (3, 3), kernel_init=tiny_xavier,
                     bias_init=zeros, dtype=self.dtype, name="conv2")(h)
@@ -263,9 +275,7 @@ class UNet(nn.Module):
         assert not hs
 
         representation = h
-        h = nn.GroupNorm(num_groups=_groups(h.shape[-1]), epsilon=1e-5,
-                         dtype=jnp.float32, name="tail_norm")(h).astype(dtype)
-        h = nn.silu(h)
+        h = GNAct(act=True, dtype=dtype, name="tail_norm")(h)
         h = nn.Conv(cfg.in_ch, (3, 3), kernel_init=tiny_xavier,
                     bias_init=zeros, dtype=dtype, name="tail_conv")(h)
         h = h.astype(jnp.float32)
