@@ -302,8 +302,24 @@ def evaluate(cfg: Config, params=None) -> dict:
 # Metric-tracked inference (C24/C31)
 
 
+def compute_real_features(images_unit: np.ndarray, feature_fn,
+                          num_samples: int = 5000,
+                          batch_size: int = 64) -> np.ndarray:
+    """Real-feature precompute (C25, `Train.py:169-244`): stream the first
+    `num_samples` images (in [0,1]) through the extractor, accumulate on
+    host."""
+    n = min(num_samples, len(images_unit))
+    feats = []
+    for i in range(0, n, batch_size):
+        feats.append(np.asarray(
+            feature_fn(jnp.asarray(images_unit[i:i + batch_size]))))
+    return np.concatenate(feats)
+
+
 def sample_with_metrics(cfg: Config, params, feature_fn=None,
-                        logit_fn=None, real_features=None) -> dict:
+                        logit_fn=None, real_features=None,
+                        clip_feature_fn=None,
+                        real_clip_features=None) -> dict:
     """Sample while tracking FID/IS every `metric_interval` denoising steps.
 
     On-device snapshot collection (core.sample_with_snapshots), host-side
@@ -351,6 +367,16 @@ def sample_with_metrics(cfg: Config, params, feature_fn=None,
             try:
                 is_mean, _ = inception_score(logit_fn, jnp.asarray(unit),
                                              splits=2)
+            except Exception:
+                pass
+        if clip_feature_fn is not None and real_clip_features is not None:
+            # mean fake<->real CLIP-feature cosine (`metrics.py:502-531`)
+            try:
+                f = np.asarray(clip_feature_fn(jnp.asarray(unit)))
+                f = f / (np.linalg.norm(f, axis=-1, keepdims=True) + 1e-8)
+                r = np.asarray(real_clip_features)
+                r = r / (np.linalg.norm(r, axis=-1, keepdims=True) + 1e-8)
+                clip_s = float((f @ r.T).mean())
             except Exception:
                 pass
         history.append((int(t), fid, is_mean, clip_s))

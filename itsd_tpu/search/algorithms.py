@@ -57,11 +57,16 @@ class SearchResult:
 
 
 def _denoise_candidates(denoise_fn: DenoiseFn, noises: jnp.ndarray,
-                        key: jax.Array) -> jnp.ndarray:
+                        key: jax.Array, sharding=None) -> jnp.ndarray:
     """[N, B, ...] candidate noises -> [N, B, ...] images via ONE batched
-    sampler call (candidates folded into the batch axis)."""
+    sampler call (candidates folded into the batch axis). With a
+    `NamedSharding`, the folded candidate axis is constrained onto the mesh
+    so each chip denoises its shard of candidates — the SPMD replacement for
+    the reference's serial candidate loop."""
     n, b = noises.shape[:2]
     flat = noises.reshape((n * b,) + noises.shape[2:])
+    if sharding is not None:
+        flat = jax.lax.with_sharding_constraint(flat, sharding)
     images = denoise_fn(flat, key)
     return images.reshape((n, b) + images.shape[1:])
 
@@ -73,16 +78,18 @@ def random_search(
     verifier_fn: VerifierFn,
     n_candidates: int = 4,
     return_images: bool = True,
+    sharding=None,
 ) -> SearchResult:
     """Best-of-N over i.i.d. initial noises.
 
     `noise_shape` is the per-candidate batch shape (B, H, W, C), matching the
     reference's convention that one candidate = one batch
-    (`search_algorithm.py:54-82`).
+    (`search_algorithm.py:54-82`). Pass a `NamedSharding` (e.g.
+    `parallel.candidate_sharding(mesh)`) to spread candidates over chips.
     """
     knoise, kden = jax.random.split(key)
     noises = jax.random.normal(knoise, (n_candidates,) + tuple(noise_shape))
-    images = _denoise_candidates(denoise_fn, noises, kden)
+    images = _denoise_candidates(denoise_fn, noises, kden, sharding)
     scores = jax.vmap(verifier_fn)(images)
     best = jnp.argmax(scores)
     return SearchResult(
@@ -120,6 +127,7 @@ def zero_order_search(
     n_iterations: int = 10,
     neighbor_mode: str = "additive",
     return_images: bool = False,
+    sharding=None,
 ) -> SearchResult:
     """Pivot-based local search in noise space (reference C11).
 
@@ -134,7 +142,7 @@ def zero_order_search(
         nk, dk = jax.random.split(it_key)
         neighbors = _sample_neighbors(nk, pivot, n_neighbors, lambda_radius,
                                       neighbor_mode)
-        images = _denoise_candidates(denoise_fn, neighbors, dk)
+        images = _denoise_candidates(denoise_fn, neighbors, dk, sharding)
         scores = jax.vmap(verifier_fn)(images)
         i = jnp.argmax(scores)
         it_best_score = scores[i]

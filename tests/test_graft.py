@@ -1,0 +1,17 @@
+"""Driver entry points: single-chip forward and 8-device SPMD dry run."""
+
+import jax
+import numpy as np
+
+
+def test_entry_forward():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)  # raises on failure

@@ -1,0 +1,47 @@
+"""Candidate-axis sharding: best-of-N search over an 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from itsd_tpu.core import linear_schedule, sample
+from itsd_tpu.parallel import candidate_sharding, make_mesh
+from itsd_tpu.search import random_search, zero_order_search
+
+SCHED = linear_schedule(1e-4, 0.02, 8)
+
+
+def _denoise(noise, key):
+    return sample(SCHED, lambda x, t: 0.1 * x, noise, key)
+
+
+def _verifier(images):
+    return -jnp.mean(images ** 2)
+
+
+def test_random_search_sharded_matches_unsharded(key):
+    assert jax.device_count() >= 8
+    mesh = make_mesh(axis_names=("data",))
+    sh = candidate_sharding(mesh)
+    shape = (1, 8, 8, 3)  # B=1 so N*B=8 divides the mesh
+    res_plain = random_search(key, shape, _denoise, _verifier,
+                              n_candidates=8)
+    res_shard = random_search(key, shape, _denoise, _verifier,
+                              n_candidates=8, sharding=sh)
+    # identical keys -> identical results regardless of sharding
+    np.testing.assert_allclose(np.asarray(res_plain.history["scores"]),
+                               np.asarray(res_shard.history["scores"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_plain.best_noise),
+                               np.asarray(res_shard.best_noise),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_zero_order_sharded_runs(key):
+    mesh = make_mesh(axis_names=("data",))
+    sh = candidate_sharding(mesh)
+    init = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 3))
+    res = zero_order_search(key, init, _denoise, _verifier, n_neighbors=8,
+                            n_iterations=2, sharding=sh)
+    assert np.isfinite(float(res.best_score))
+    assert res.history["scores"].shape == (2, 8)
