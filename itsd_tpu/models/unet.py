@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -180,12 +181,47 @@ class DownSample(nn.Module):
     @nn.compact
     def __call__(self, x):
         C = x.shape[-1]
-        y = nn.Conv(C, (3, 3), strides=(2, 2), kernel_init=xavier,
-                    bias_init=zeros, dtype=self.dtype, name="c1")(x)
+        # explicit symmetric padding: XLA's SAME pads (0,1) for stride-2,
+        # torch's padding=1 pads (1,1) — window alignment must match the
+        # reference for checkpoint-weight parity
+        y = nn.Conv(C, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    kernel_init=xavier, bias_init=zeros, dtype=self.dtype,
+                    name="c1")(x)
         if self.kind == "dual_conv":
-            y = y + nn.Conv(C, (5, 5), strides=(2, 2), kernel_init=xavier,
+            y = y + nn.Conv(C, (5, 5), strides=(2, 2),
+                            padding=((2, 2), (2, 2)), kernel_init=xavier,
                             bias_init=zeros, dtype=self.dtype, name="c2")(x)
         return y
+
+
+class TorchConvTranspose2d(nn.Module):
+    """ConvTranspose2d with torch's exact semantics (kernel k, stride s,
+    padding p, output_padding op): dilate the input by s, pad
+    (k-1-p, k-1-p+op), correlate with the spatially-flipped kernel. Needed
+    for weight-exact parity with `ModelCondition.py:80`
+    (ConvTranspose2d(5, 2, 2, 1))."""
+    features: int
+    kernel: int = 5
+    stride: int = 2
+    padding: int = 2
+    output_padding: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        k, s, p, op = (self.kernel, self.stride, self.padding,
+                       self.output_padding)
+        w = self.param("kernel", xavier, (k, k, C, self.features))
+        b = self.param("bias", zeros, (self.features,))
+        pad = (k - 1 - p, k - 1 - p + op)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            jnp.flip(w, axis=(0, 1)).astype(self.dtype),
+            window_strides=(1, 1), padding=(pad, pad),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + b.astype(self.dtype)
 
 
 class UpSample(nn.Module):
@@ -201,9 +237,7 @@ class UpSample(nn.Module):
         if self.kind == "nearest_conv":
             x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         else:
-            x = nn.ConvTranspose(C, (5, 5), strides=(2, 2), padding="SAME",
-                                 kernel_init=xavier, bias_init=zeros,
-                                 dtype=self.dtype, name="t")(x)
+            x = TorchConvTranspose2d(C, dtype=self.dtype, name="t")(x)
         return nn.Conv(C, (3, 3), kernel_init=xavier, bias_init=zeros,
                        dtype=self.dtype, name="c")(x)
 
