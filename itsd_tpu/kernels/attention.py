@@ -137,15 +137,21 @@ def spatial_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     C = q.shape[-1]
     scale = float(C) ** -0.5
+    if impl == "auto":
+        import os
+        env = os.environ.get("ITSD_ATTN_IMPL", "auto")
+        if env == "xla":
+            return _attention_xla(q, k, v, scale)
+        # env "flash"/"auto": flash when the shape tiles, xla otherwise
+        if (_HAS_PLTPU and jax.default_backend() == "tpu"
+                and _flash_eligible(q.shape[1], C)):
+            return _attention_flash(q, k, v, scale)
+        return _attention_xla(q, k, v, scale)
     if impl == "xla":
         return _attention_xla(q, k, v, scale)
     if impl == "flash":
         return _attention_flash(q, k, v, scale, interpret=interpret)
-    # auto
-    if (_HAS_PLTPU and jax.default_backend() == "tpu"
-            and _flash_eligible(q.shape[1], C)):
-        return _attention_flash(q, k, v, scale)
-    return _attention_xla(q, k, v, scale)
+    raise ValueError(f"unknown attention impl: {impl!r}")
 
 
 def mha_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

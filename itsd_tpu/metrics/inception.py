@@ -250,9 +250,6 @@ def load_torchvision_inception(path: str, include_fc: bool = True) -> Dict:
 # Random initialisation (for tests / topology validation)
 
 
-_BASIC_SPECS = None
-
-
 def init_random_params(key, include_fc: bool = True) -> Dict:
     """Random-weight params with the exact production shapes — used by the
     topology tests and as a deterministic fallback extractor."""
