@@ -133,11 +133,54 @@ def get_baseline() -> dict:
     return {"images_per_sec": None}
 
 
+def measure_search() -> dict:
+    """Best-of-N random search throughput (BASELINE.md workload 3):
+    N=16 candidates x batch 8, self-supervised verifier, one jitted program
+    with the candidate axis folded into the batch."""
+    import jax
+    import jax.numpy as jnp
+    from itsd_tpu.core import linear_schedule, sample
+    from itsd_tpu.models import UNet, uncond_unet_config
+    from itsd_tpu.search import random_search, self_supervised_verifier
+
+    n_cand = int(os.environ.get("BENCH_SEARCH_N", "16"))
+    t_search = int(os.environ.get("BENCH_SEARCH_T", "100"))
+    cfg = uncond_unet_config(ch=128, ch_mult=(1, 2, 2, 2), attn=(1,),
+                             num_res_blocks=2, dropout=0.1,
+                             dtype="bfloat16")
+    model = UNet(cfg)
+    sched = linear_schedule(1e-4, 0.02, t_search)
+    x = jnp.zeros((8, IMG, IMG, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x,
+                        jnp.zeros((8,), jnp.int32))
+    eps_fn = lambda xx, tt: model.apply(params, xx, tt)
+    denoise = lambda n, k: sample(sched, eps_fn, n, k)
+    verifier = self_supervised_verifier()
+
+    def run(key):
+        return random_search(key, (8, IMG, IMG, 3), denoise, verifier,
+                             n_candidates=n_cand, return_images=False)
+
+    r = run(jax.random.PRNGKey(1))  # warm (compiles the folded batch)
+    float(r.best_score)
+    t0 = time.perf_counter()
+    r = run(jax.random.PRNGKey(2))
+    best = float(r.best_score)
+    dt = time.perf_counter() - t0
+    return {"n_candidates": n_cand, "T": t_search,
+            "wall_seconds": round(dt, 3),
+            "candidates_per_sec": round(n_cand / dt, 3),
+            "best_score": best, "nfes": r.nfes}
+
+
 def main():
     ours = measure_ours()
     base = get_baseline()
     vs = (ours["images_per_sec"] / base["images_per_sec"]
           if base.get("images_per_sec") else None)
+    extra = {}
+    if os.environ.get("BENCH_SEARCH") == "1":
+        extra["search"] = measure_search()
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
         "value": round(ours["images_per_sec"], 4),
@@ -147,6 +190,7 @@ def main():
             "workload": f"CIFAR10-uncond DDPM sample T={T} batch={BATCH}",
             "ours": ours,
             "baseline_torch_cpu": base,
+            **extra,
         },
     }))
 
