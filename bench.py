@@ -157,20 +157,24 @@ def measure_search() -> dict:
     denoise = lambda n, k: sample(sched, eps_fn, n, k)
     verifier = self_supervised_verifier()
 
+    # jit the WHOLE search: one compiled program for candidate generation,
+    # batched denoising, scoring and argmax (no per-op dispatch)
+    @jax.jit
     def run(key):
-        return random_search(key, (8, IMG, IMG, 3), denoise, verifier,
-                             n_candidates=n_cand, return_images=False)
+        r = random_search(key, (8, IMG, IMG, 3), denoise, verifier,
+                          n_candidates=n_cand, return_images=False)
+        return r.best_noise, r.best_score, r.history["scores"]
 
-    r = run(jax.random.PRNGKey(1))  # warm (compiles the folded batch)
-    float(r.best_score)
+    _, s, _ = run(jax.random.PRNGKey(1))  # warm/compile
+    float(s)
     t0 = time.perf_counter()
-    r = run(jax.random.PRNGKey(2))
-    best = float(r.best_score)
+    _, s, scores = run(jax.random.PRNGKey(2))
+    best = float(s)
     dt = time.perf_counter() - t0
     return {"n_candidates": n_cand, "T": t_search,
             "wall_seconds": round(dt, 3),
             "candidates_per_sec": round(n_cand / dt, 3),
-            "best_score": best, "nfes": r.nfes}
+            "best_score": best, "nfes": n_cand}
 
 
 def main():

@@ -436,22 +436,53 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
                              "explicitly (requires weights/conditions)")
 
     key = jax.random.PRNGKey(cfg.seed)
+    # random/zero-order/path are pure programs: jit them END-TO-END so the
+    # candidate sweep is one compiled computation (re-invoking the eager
+    # path would re-trace the sampler scan every call).
+    from ..search.algorithms import SearchResult
     if s.algorithm == "random":
-        res = random_search(key, shape, denoise_fn, verifier_fn,
-                            n_candidates=s.n_candidates)
+        @jax.jit
+        def _run(k):
+            r = random_search(k, shape, denoise_fn, verifier_fn,
+                              n_candidates=s.n_candidates)
+            return (r.best_noise, r.best_score, r.best_images,
+                    r.history["scores"])
+        bn, bs, bi, sc = _run(key)
+        res = SearchResult(bn, bs, bi, {"scores": sc}, s.n_candidates)
     elif s.algorithm == "zero_order":
         init = jax.random.normal(jax.random.fold_in(key, 0), shape)
-        res = zero_order_search(key, init, denoise_fn, verifier_fn,
-                                n_neighbors=s.n_neighbors,
-                                lambda_radius=s.lambda_radius,
-                                n_iterations=s.n_iterations,
-                                neighbor_mode=s.neighbor_mode,
-                                return_images=True)
+
+        @jax.jit
+        def _run(k, init):
+            r = zero_order_search(k, init, denoise_fn, verifier_fn,
+                                  n_neighbors=s.n_neighbors,
+                                  lambda_radius=s.lambda_radius,
+                                  n_iterations=s.n_iterations,
+                                  neighbor_mode=s.neighbor_mode,
+                                  return_images=True)
+            return (r.best_noise, r.best_score, r.best_images,
+                    r.history["scores"])
+        bn, bs, bi, sc = _run(key, init)
+        res = SearchResult(
+            bn, bs, bi,
+            {"scores": sc, "candidates_per_iter": s.n_neighbors},
+            s.n_iterations * s.n_neighbors + 1)
     elif s.algorithm == "path":
-        res = path_search(key, sched, eps_fn, verifier_fn, shape,
-                          n_paths=s.n_paths, n_active=s.n_active,
-                          injection_steps=tuple(s.injection_steps),
-                          delta_f=s.delta_f)
+        steps = tuple(s.injection_steps)
+
+        @jax.jit
+        def _run(k):
+            r = path_search(k, sched, eps_fn, verifier_fn, shape,
+                            n_paths=s.n_paths, n_active=s.n_active,
+                            injection_steps=steps, delta_f=s.delta_f)
+            return (r.best_noise, r.best_score, r.best_images,
+                    r.history["scores"], r.history["final_scores"])
+        bn, bs, bi, sc, fsc = _run(key)
+        res = SearchResult(
+            bn, bs, bi,
+            {"scores": sc, "final_scores": fsc,
+             "injection_points": list(steps)},
+            s.n_paths * (len(steps) + 1))
     elif s.algorithm == "gradient":
         init = jax.random.normal(jax.random.fold_in(key, 0), shape)
         res = gradient_search(key, init, sched, eps_fn, verifier_fn,
