@@ -35,7 +35,8 @@ from .schedules import DiffusionSchedule
 
 def _scan_steps(sched: DiffusionSchedule, eps_fn: EpsFn, x: jnp.ndarray,
                 key: jax.Array, t_hi: int, t_lo: int,
-                remat: bool = False) -> Tuple[jnp.ndarray, jax.Array]:
+                remat: bool = False, unroll: int = 1
+                ) -> Tuple[jnp.ndarray, jax.Array]:
     """Run reverse steps for t = t_hi-1, ..., t_lo (inclusive). Static bounds."""
     ts = jnp.arange(t_hi - 1, t_lo - 1, -1, dtype=jnp.int32)
 
@@ -54,19 +55,23 @@ def _scan_steps(sched: DiffusionSchedule, eps_fn: EpsFn, x: jnp.ndarray,
         # O(T) activation graph, `search_algorithm.py:396-421`).
         step = jax.checkpoint(step)
 
-    (x, key), _ = lax.scan(step, (x, key), ts)
+    n = t_hi - t_lo
+    u = unroll if n % unroll == 0 else 1
+    (x, key), _ = lax.scan(step, (x, key), ts, unroll=u)
     return x, key
 
 
 def sample(sched: DiffusionSchedule, eps_fn: EpsFn, x_T: jnp.ndarray,
            key: jax.Array, *, clip_output: bool = True,
-           remat: bool = False) -> jnp.ndarray:
+           remat: bool = False, unroll: int = 1) -> jnp.ndarray:
     """Full ancestral sampling: x_T ~ N(0, I) -> x_0, clipped to [-1, 1].
 
     Semantics match `GaussianDiffusionSampler.forward`
-    (`Diffusion/Diffusion.py:84-102`).
+    (`Diffusion/Diffusion.py:84-102`). ``unroll`` unrolls the scan body
+    (XLA can overlap/fuse across steps at some compile-time cost).
     """
-    x, _ = _scan_steps(sched, eps_fn, x_T, key, sched.T, 0, remat=remat)
+    x, _ = _scan_steps(sched, eps_fn, x_T, key, sched.T, 0, remat=remat,
+                       unroll=unroll)
     return jnp.clip(x, -1.0, 1.0) if clip_output else x
 
 
