@@ -125,6 +125,28 @@ def _flash_eligible(n: int, c: int) -> bool:
     return n >= 256 and n % 256 == 0 and c % 128 == 0
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_attention_diff(scale: float, q, k, v):
+    """Differentiable flash attention: Pallas forward, XLA-recompute
+    backward (pallas_call has no autodiff rule; the backward rebuilds the
+    score matrix once — fine for training at moderate token counts, and
+    inference/search never takes this path)."""
+    return _attention_flash(q, k, v, scale)
+
+
+def _flash_diff_fwd(scale, q, k, v):
+    return _attention_flash(q, k, v, scale), (q, k, v)
+
+
+def _flash_diff_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _attention_xla(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+_flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def spatial_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       impl: str = "auto",
                       interpret: bool = False) -> jnp.ndarray:
@@ -145,12 +167,14 @@ def spatial_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # env "flash"/"auto": flash when the shape tiles, xla otherwise
         if (_HAS_PLTPU and jax.default_backend() == "tpu"
                 and _flash_eligible(q.shape[1], C)):
-            return _attention_flash(q, k, v, scale)
+            return _flash_attention_diff(scale, q, k, v)
         return _attention_xla(q, k, v, scale)
     if impl == "xla":
         return _attention_xla(q, k, v, scale)
     if impl == "flash":
-        return _attention_flash(q, k, v, scale, interpret=interpret)
+        if interpret:
+            return _attention_flash(q, k, v, scale, interpret=True)
+        return _flash_attention_diff(scale, q, k, v)
     raise ValueError(f"unknown attention impl: {impl!r}")
 
 

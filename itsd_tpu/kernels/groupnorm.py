@@ -94,6 +94,28 @@ def groupnorm_swish_pallas(x: jnp.ndarray, scale: jnp.ndarray,
     return out.reshape(B, H, W, C)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gn_pallas_diff(x, scale, bias, groups, eps, act):
+    """Differentiable wrapper: Pallas forward, XLA-recompute backward."""
+    return groupnorm_swish_pallas(x, scale, bias, groups, eps, act)
+
+
+def _gn_diff_fwd(x, scale, bias, groups, eps, act):
+    return groupnorm_swish_pallas(x, scale, bias, groups, eps, act), \
+        (x, scale, bias)
+
+
+def _gn_diff_bwd(groups, eps, act, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x, s, b: groupnorm_swish_xla(x, s, b, groups, eps, act),
+        x, scale, bias)
+    return vjp(g)
+
+
+_gn_pallas_diff.defvjp(_gn_diff_fwd, _gn_diff_bwd)
+
+
 def _pallas_eligible(x: jnp.ndarray, groups: int) -> bool:
     B, H, W, C = x.shape
     if C % groups or C % 128:
@@ -119,11 +141,13 @@ def groupnorm_swish(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
         if (env == "pallas" and _HAS_PLTPU
                 and jax.default_backend() == "tpu"
                 and _pallas_eligible(x, groups)):
-            return groupnorm_swish_pallas(x, scale, bias, groups, eps, act)
+            return _gn_pallas_diff(x, scale, bias, groups, eps, act)
         return groupnorm_swish_xla(x, scale, bias, groups, eps, act)
     if impl == "xla":
         return groupnorm_swish_xla(x, scale, bias, groups, eps, act)
     if impl == "pallas":
-        return groupnorm_swish_pallas(x, scale, bias, groups, eps, act,
-                                      interpret=interpret)
+        if interpret:
+            return groupnorm_swish_pallas(x, scale, bias, groups, eps, act,
+                                          interpret=True)
+        return _gn_pallas_diff(x, scale, bias, groups, eps, act)
     raise ValueError(f"unknown groupnorm impl: {impl!r}")
