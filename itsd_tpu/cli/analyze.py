@@ -13,7 +13,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

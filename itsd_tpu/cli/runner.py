@@ -17,7 +17,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Any, Callable, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,6 @@ AttnBlock); `mha_attention` vmaps heads for the ViT.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

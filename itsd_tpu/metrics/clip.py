@@ -17,7 +17,7 @@ normalisation and feeds [0,1] pixels — a quirk, see verifier.py:127-139; use
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

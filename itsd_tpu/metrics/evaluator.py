@@ -9,7 +9,7 @@ batched; the float64 Fréchet solve runs on host (TPUs are slow at f64).
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

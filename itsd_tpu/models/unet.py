@@ -24,7 +24,7 @@ starts near-identity.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ linear head -> un-patchify. Multi-head attention runs through
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax.numpy as jnp
 from flax import linen as nn
 

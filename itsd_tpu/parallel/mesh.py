@@ -18,7 +18,7 @@ NamedSharding/PartitionSpec, let XLA place the collectives on ICI.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

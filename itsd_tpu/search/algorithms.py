@@ -30,7 +30,7 @@ NFE accounting is returned as metadata (the reference mutates a counter).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,6 @@ path stays assertion-free."""
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax.experimental import checkify
 
