@@ -56,6 +56,33 @@ def restore_checkpoint(path: str, state: Optional[TrainState] = None
     )
 
 
+class AsyncCheckpointManager:
+    """Non-blocking checkpointing: saves run in a background thread while
+    training continues (SURVEY §5 suggests async Orbax checkpointing for
+    preemption-resilience; the reference blocks on torch.save each epoch)."""
+
+    def __init__(self):
+        self._ckptr = ocp.AsyncCheckpointer(
+            ocp.PyTreeCheckpointHandler())
+
+    def save(self, path: str, state: TrainState) -> None:
+        path = _abspath(path)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self._ckptr.save(path, {
+            "step": state.step,
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "ema_params": state.ema_params,
+        }, force=True)
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()
+
+
 def save_params(path: str, params: Any) -> None:
     """Weights-only checkpoint (what the reference's eval paths load)."""
     path = _abspath(path)
