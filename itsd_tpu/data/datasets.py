@@ -152,6 +152,38 @@ def load_image_folder(root: str, img_size: int = 256,
     return imgs, labels
 
 
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Wrap a host batch iterator with device prefetch: the next `size`
+    batches are already transferred (and sharded) while the current step
+    computes — hides host->HBM latency the way the reference's DataLoader
+    workers hide disk latency (`Train.py:512-514`), but for the PCIe leg."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        else:
+            batch = {k: jax.device_put(v) for k, v in batch.items()}
+        queue.append(batch)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            put(next(it))
+    except StopIteration:
+        pass
+    while queue:
+        try:
+            put(next(it))
+        except StopIteration:
+            pass
+        yield queue.popleft()
+
+
 def synthetic_dataset(n: int = 256, img_size: int = 32, num_labels: int = 10,
                       seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic random data (smooth blobs, not white noise) for tests

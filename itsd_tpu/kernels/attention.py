@@ -118,6 +118,205 @@ def _attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(q, k, v)
 
 
+def _flash_kernel_stats(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                        acc_ref, m_ref, l_ref, *, scale: float,
+                        kv_blocks: int):
+    """Forward that additionally emits the per-row log-sum-exp, which the
+    blockwise backward needs to reconstruct p = exp(s - lse)."""
+    kb = pl.program_id(2)
+    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+            else None)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32,
+                precision=prec) * scale
+    m_prev = m_ref[:, 0]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    correction = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(s - m_cur[:, None])
+    l_ref[:, 0] = l_ref[:, 0] * correction + jnp.sum(p, axis=-1)
+    m_ref[:, 0] = m_cur
+    acc_ref[:] = (acc_ref[:] * correction[:, None]
+                  + jnp.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32,
+                            precision=prec))
+
+    @pl.when(kb == kv_blocks - 1)
+    def _finish():
+        l = l_ref[:, 0]
+        o_ref[0] = (acc_ref[:] / l[:, None]).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[:, 0] + jnp.log(l))[:, None]
+
+
+def _attention_flash_stats(q, k, v, scale, block_q=256, block_k=512,
+                           interpret=False):
+    B, N, C = q.shape
+    block_q = min(block_q, N)
+    block_k = min(block_k, N)
+    assert N % block_q == 0 and N % block_k == 0
+    kv_blocks = N // block_k
+    kernel = functools.partial(_flash_kernel_stats, scale=scale,
+                               kv_blocks=kv_blocks)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, N // block_q, kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, C), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, C), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, C), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, C), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, C), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ] if _HAS_PLTPU else [],
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
+                         dq_ref, dq_acc, *, scale: float, kv_blocks: int):
+    kb = pl.program_id(2)
+    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+            else None)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]  # [bq, 1] f32
+    dd = dd_ref[0]    # [bq, 1] f32
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32,
+                precision=prec) * scale
+    p = jnp.exp(s - lse)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32,
+                 precision=prec)
+    ds = p * (dp - dd)
+    dq_acc[:] += scale * jnp.dot(ds.astype(k.dtype), k,
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+
+    @pl.when(kb == kv_blocks - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dd_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float,
+                          q_blocks: int):
+    qb = pl.program_id(2)
+    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+            else None)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    k = k_ref[0]
+    v = v_ref[0]
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]
+    dd = dd_ref[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32,
+                precision=prec) * scale          # [bq, bk]
+    p = jnp.exp(s - lse)                          # [bq, bk]
+    dv_acc[:] += jnp.dot(p.astype(do.dtype).T, do,
+                         preferred_element_type=jnp.float32, precision=prec)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32,
+                 precision=prec)                  # [bq, bk]
+    ds = p * (dp - dd)
+    dk_acc[:] += scale * jnp.dot(ds.astype(q.dtype).T, q,
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+
+    @pl.when(qb == q_blocks - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _attention_flash_bwd(q, k, v, o, lse, do, scale, block_q=256,
+                         block_k=512, interpret=False):
+    """Blockwise flash backward: O(block) memory, no score matrix in HBM."""
+    B, N, C = q.shape
+    block_q = min(block_q, N)
+    block_k = min(block_k, N)
+    q_blocks = N // block_q
+    kv_blocks = N // block_k
+    # D_i = rowsum(dO * O) (the softmax-jacobian diagonal term)
+    dd = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                 axis=-1, keepdims=True)  # [B, N, 1]
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale,
+                          kv_blocks=kv_blocks),
+        grid=(B, q_blocks, kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, C), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, C), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, C), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, C), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, C), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, C), jnp.float32)]
+        if _HAS_PLTPU else [],
+        interpret=interpret,
+    )(q, k, v, do, lse, dd)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale,
+                          q_blocks=q_blocks),
+        grid=(B, kv_blocks, q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_k, C), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, C), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, C), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, C), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, C), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, C), lambda b, i, j: (b, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, C), jnp.float32),
+            pltpu.VMEM((block_k, C), jnp.float32),
+        ] if _HAS_PLTPU else [],
+        interpret=interpret,
+    )(k, v, q, do, lse, dd)
+    return dq, dk, dv
+
+
 def _flash_eligible(n: int, c: int) -> bool:
     """Flash path needs lane-aligned shapes to tile onto the MXU."""
     return n >= 256 and n % 256 == 0 and c % 128 == 0
@@ -125,21 +324,21 @@ def _flash_eligible(n: int, c: int) -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _flash_attention_diff(scale: float, q, k, v):
-    """Differentiable flash attention: Pallas forward, XLA-recompute
-    backward (pallas_call has no autodiff rule; the backward rebuilds the
-    score matrix once — fine for training at moderate token counts, and
-    inference/search never takes this path)."""
+    """Differentiable flash attention: Pallas forward AND Pallas blockwise
+    backward (pallas_call has no autodiff rule). Forward saves per-row
+    log-sum-exp; backward recomputes p blockwise — O(block) memory in both
+    directions, never the [N, N] score matrix."""
     return _attention_flash(q, k, v, scale)
 
 
 def _flash_diff_fwd(scale, q, k, v):
-    return _attention_flash(q, k, v, scale), (q, k, v)
+    o, lse = _attention_flash_stats(q, k, v, scale)
+    return o, (q, k, v, o, lse)
 
 
 def _flash_diff_bwd(scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _attention_xla(q, k, v, scale), q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    return _attention_flash_bwd(q, k, v, o, lse, g, scale)
 
 
 _flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
