@@ -177,15 +177,25 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     ckpts = []
     step = 0
     t0 = time.time()
+    from ..data.datasets import prefetch_to_device
+    from ..parallel import batch_sharding
+    b_sharding = batch_sharding(mesh)
     for epoch in range(cfg.train.epoch):
         epoch_loss = None
         epoch_reprs, epoch_repr_labels = [], []
-        for batch_i, batch in enumerate(it):
-            if conditional:
-                hbatch = {"image": batch["image"], "label": batch["label"]}
-            else:
-                hbatch = {"image": batch["image"]}
-            hbatch = shard_batch(hbatch, mesh)
+
+        def host_batches():
+            for b in it:
+                if conditional:
+                    yield {"image": b["image"], "label": b["label"]}
+                else:
+                    yield {"image": b["image"]}
+
+        # device prefetch (depth 2): next batch transfers (sharded over the
+        # mesh) while the current step computes
+        for batch_i, hbatch in enumerate(
+                prefetch_to_device(host_batches(), size=2,
+                                   sharding=b_sharding)):
             key, skey = jax.random.split(key)
             state, metrics = step_fn(state, hbatch, skey)
             step += 1
@@ -193,14 +203,14 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
             losses.append(float(epoch_loss))
             if (repr_fn is not None and extract_freq
                     and batch_i % extract_freq == 0):
-                labels_p1 = jnp.asarray(batch["label"]) + 1
-                t_mid = jnp.full((batch["image"].shape[0],), sched.T // 2,
+                labels_p1 = hbatch["label"].astype(jnp.int32) + 1
+                t_mid = jnp.full((hbatch["image"].shape[0],), sched.T // 2,
                                  jnp.int32)
-                rep = repr_fn(state.params, jnp.asarray(batch["image"]),
-                              t_mid, labels_p1)
+                rep = repr_fn(state.params, hbatch["image"], t_mid,
+                              labels_p1)
                 # global-average-pool spatial dims for compact storage
                 epoch_reprs.append(np.asarray(rep.mean(axis=(1, 2))))
-                epoch_repr_labels.append(np.asarray(batch["label"]))
+                epoch_repr_labels.append(np.asarray(hbatch["label"]))
             if max_steps is not None and step >= max_steps:
                 break
         if epoch_reprs and cfg.train.save_representations:
