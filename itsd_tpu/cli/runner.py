@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import (linear_schedule, make_cfg_eps_fn, sample,
+from ..core import (ddim_sample, linear_schedule, make_cfg_eps_fn, sample,
                     sample_with_snapshots)
 from ..data import (BatchIterator, load_cifar10, load_image_folder,
                     synthetic_dataset)
@@ -102,6 +102,15 @@ def init_params(cfg: Config, model, conditional: bool):
         return model.init(jax.random.PRNGKey(cfg.seed), x, t,
                           jnp.zeros((2,), jnp.int32))
     return model.init(jax.random.PRNGKey(cfg.seed), x, t)
+
+
+def run_sampler(cfg: Config, sched, eps_fn, x_T, key):
+    """Dispatch ancestral DDPM vs DDIM per config (diffusion.sampler)."""
+    if cfg.diffusion.sampler == "ddim":
+        return ddim_sample(sched, eps_fn, x_T, key,
+                           num_steps=min(cfg.diffusion.ddim_steps, sched.T),
+                           eta=cfg.diffusion.ddim_eta)
+    return sample(sched, eps_fn, x_T, key)
 
 
 def make_eps_fn(model, params, conditional: bool, labels=None,
@@ -252,7 +261,7 @@ def _sample_grid_during_training(cfg, model, state, conditional, epoch, key):
         eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
     else:
         eps_fn = make_eps_fn(model, params, False)
-    imgs = sample(sched, eps_fn, x_T, ks)
+    imgs = run_sampler(cfg, sched, eps_fn, x_T, ks)
     save_image_grid(np.asarray(imgs),
                     os.path.join(cfg.sampled_dir,
                                  f"epoch_{epoch}_sampled.png"),
@@ -268,12 +277,13 @@ def evaluate(cfg: Config, params=None) -> dict:
     if params is None:
         assert cfg.test_load_weight, "eval needs test_load_weight"
         template = init_params(cfg, model, conditional)
-        ckpt_T = None
         try:
+            # full training checkpoint (params+EMA+opt): prefer EMA weights
             restored = restore_checkpoint(
                 os.path.join(cfg.save_weight_dir, cfg.test_load_weight))
             params = restored.ema_params or restored.params
         except Exception:
+            # weights-only checkpoint (what the reference's eval loads)
             params = restore_params(
                 os.path.join(cfg.save_weight_dir, cfg.test_load_weight),
                 template=template)
@@ -302,7 +312,7 @@ def evaluate(cfg: Config, params=None) -> dict:
     save_image_grid(np.asarray(jnp.clip(x_T * 0.5, -1, 1)),
                     os.path.join(cfg.sampled_dir, "noisy.png"),
                     nrow=cfg.nrow)
-    imgs = sample(sched, eps_fn, x_T, ks)
+    imgs = run_sampler(cfg, sched, eps_fn, x_T, ks)
     out_path = os.path.join(cfg.sampled_dir, "sampled.png")
     save_image_grid(np.asarray(imgs), out_path, nrow=cfg.nrow)
     return {"images": np.asarray(imgs), "path": out_path}

@@ -47,6 +47,9 @@ class DiffusionCfg:
     beta_1: float = 1e-4
     beta_T: float = 0.02
     w: float = 0.0                      # CFG guidance weight
+    sampler: str = "ddpm"               # "ddpm" (ancestral) | "ddim"
+    ddim_steps: int = 50
+    ddim_eta: float = 0.0
 
 
 @dataclasses.dataclass
