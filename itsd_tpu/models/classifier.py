@@ -1,0 +1,102 @@
+"""Compact convolutional classifier — the trainable companion for
+`search.verifiers.classifier_verifier` (BASELINE.md workload 3: best-of-N
+noise search scored by per-class log-probability on CIFAR-10).
+
+The reference has no classifier of its own (its supervised verifier leans on
+CLIP, `search/verifier.py:69-110`); a small in-framework CNN lets the
+classifier-verifier workload run self-contained with no external weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from .embeddings import xavier, zeros
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassifierConfig:
+    num_classes: int = 10
+    ch: int = 32
+    depth: int = 3          # number of conv stages (stride-2 each)
+    dtype: str = "float32"
+
+
+class SmallCNN(nn.Module):
+    """conv-swish x2 per stage with stride-2 downsampling, GAP head.
+    Input: [B, H, W, C] in [0, 1]."""
+    cfg: ClassifierConfig
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        dtype = jnp.dtype(self.cfg.dtype)
+        x = x.astype(dtype) * 2.0 - 1.0
+        ch = self.cfg.ch
+        for i in range(self.cfg.depth):
+            x = nn.Conv(ch, (3, 3), kernel_init=xavier, bias_init=zeros,
+                        dtype=dtype, name=f"conv{i}a")(x)
+            x = nn.silu(x)
+            x = nn.Conv(ch, (3, 3), strides=(2, 2), kernel_init=xavier,
+                        bias_init=zeros, dtype=dtype, name=f"conv{i}b")(x)
+            x = nn.silu(x)
+            ch *= 2
+        x = x.mean(axis=(1, 2))
+        x = nn.Dense(self.cfg.num_classes, kernel_init=xavier,
+                     bias_init=zeros, dtype=dtype, name="head")(x)
+        return x.astype(jnp.float32)
+
+
+def train_classifier(images, labels, cfg: ClassifierConfig = None,
+                     epochs: int = 5, batch_size: int = 128,
+                     lr: float = 1e-3, seed: int = 0):
+    """Train SmallCNN on (images [N,H,W,C] in [-1,1] or [0,1], labels [N]).
+    Returns (logit_fn, params, final_accuracy). Small enough to run in the
+    test suite; at CIFAR scale reaches usable verifier accuracy in a few
+    epochs."""
+    import numpy as np
+
+    cfg = cfg or ClassifierConfig()
+    model = SmallCNN(cfg)
+    images = np.asarray(images, dtype=np.float32)
+    if images.min() < -0.01:
+        images = (images + 1.0) / 2.0
+    labels = np.asarray(labels, dtype=np.int32)
+
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((2,) + images.shape[1:]))
+    tx = optax.adamw(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply(p, x)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    n = len(images)
+    for _ in range(epochs):
+        order = rng.permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = order[i:i + batch_size]
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(images[idx]),
+                jnp.asarray(labels[idx]))
+
+    @jax.jit
+    def logit_fn(x):
+        return model.apply(params, x)
+
+    preds = np.asarray(jnp.argmax(logit_fn(jnp.asarray(images[:512])), -1))
+    acc = float((preds == labels[:512]).mean())
+    return logit_fn, params, acc
