@@ -85,8 +85,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
 
 
 def _attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                     scale: float, block_q: int = 256,
-                     block_k: int = 512, interpret: bool = False
+                     scale: float, block_q: int = 512,
+                     block_k: int = 1024, interpret: bool = False
                      ) -> jnp.ndarray:
     """Pallas blockwise attention. q,k,v: [B, N, C], N % block sizes == 0."""
     B, N, C = q.shape
@@ -156,7 +156,7 @@ def _flash_kernel_stats(q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0] = (m_ref[:, 0] + jnp.log(l))[:, None]
 
 
-def _attention_flash_stats(q, k, v, scale, block_q=256, block_k=512,
+def _attention_flash_stats(q, k, v, scale, block_q=512, block_k=1024,
                            interpret=False):
     B, N, C = q.shape
     block_q = min(block_q, N)
@@ -257,8 +257,8 @@ def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dd_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _attention_flash_bwd(q, k, v, o, lse, do, scale, block_q=256,
-                         block_k=512, interpret=False):
+def _attention_flash_bwd(q, k, v, o, lse, do, scale, block_q=512,
+                         block_k=1024, interpret=False):
     """Blockwise flash backward: O(block) memory, no score matrix in HBM."""
     B, N, C = q.shape
     block_q = min(block_q, N)
