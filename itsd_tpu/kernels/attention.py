@@ -84,12 +84,23 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
 
 
+
+def _pick_block(n: int, prefs) -> int:
+    """Largest preferred block size that divides n (n itself as fallback)."""
+    for pref in prefs:
+        if n % pref == 0:
+            return min(pref, n)
+    return n
+
 def _attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                     scale: float, block_q: int = 512,
-                     block_k: int = 1024, interpret: bool = False
+                     scale: float, block_q: int = 0,
+                     block_k: int = 0, interpret: bool = False
                      ) -> jnp.ndarray:
-    """Pallas blockwise attention. q,k,v: [B, N, C], N % block sizes == 0."""
+    """Pallas blockwise attention. q,k,v: [B, N, C]. Block sizes default to
+    the measured v5e optimum (512 x 1024) degrading to whatever divides N."""
     B, N, C = q.shape
+    block_q = block_q or _pick_block(N, (512, 256, 128))
+    block_k = block_k or _pick_block(N, (1024, 512, 256, 128))
     block_q = min(block_q, N)
     block_k = min(block_k, N)
     assert N % block_q == 0 and N % block_k == 0, (N, block_q, block_k)
@@ -156,11 +167,11 @@ def _flash_kernel_stats(q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0] = (m_ref[:, 0] + jnp.log(l))[:, None]
 
 
-def _attention_flash_stats(q, k, v, scale, block_q=512, block_k=1024,
+def _attention_flash_stats(q, k, v, scale, block_q=0, block_k=0,
                            interpret=False):
     B, N, C = q.shape
-    block_q = min(block_q, N)
-    block_k = min(block_k, N)
+    block_q = min(block_q or _pick_block(N, (512, 256, 128)), N)
+    block_k = min(block_k or _pick_block(N, (1024, 512, 256, 128)), N)
     assert N % block_q == 0 and N % block_k == 0
     kv_blocks = N // block_k
     kernel = functools.partial(_flash_kernel_stats, scale=scale,
@@ -257,12 +268,12 @@ def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dd_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _attention_flash_bwd(q, k, v, o, lse, do, scale, block_q=512,
-                         block_k=1024, interpret=False):
+def _attention_flash_bwd(q, k, v, o, lse, do, scale, block_q=0,
+                         block_k=0, interpret=False):
     """Blockwise flash backward: O(block) memory, no score matrix in HBM."""
     B, N, C = q.shape
-    block_q = min(block_q, N)
-    block_k = min(block_k, N)
+    block_q = min(block_q or _pick_block(N, (512, 256, 128)), N)
+    block_k = min(block_k or _pick_block(N, (1024, 512, 256, 128)), N)
     q_blocks = N // block_q
     kv_blocks = N // block_k
     # D_i = rowsum(dO * O) (the softmax-jacobian diagonal term)
