@@ -104,6 +104,26 @@ def init_params(cfg: Config, model, conditional: bool):
     return model.init(jax.random.PRNGKey(cfg.seed), x, t)
 
 
+def load_eval_params(cfg: Config, model, conditional: bool):
+    """Load weights for inference from `test_load_weight`: accepts both full
+    training checkpoints (prefer EMA) and weights-only checkpoints, then
+    applies cross-T time-embedding surgery if needed."""
+    assert cfg.test_load_weight, "needs test_load_weight"
+    path = os.path.join(cfg.save_weight_dir, cfg.test_load_weight)
+    try:
+        restored = restore_checkpoint(path)
+        params = restored.ema_params or restored.params
+    except Exception:
+        params = restore_params(
+            path, template=init_params(cfg, model, conditional))
+    ckpt_T = detect_checkpoint_T(params)
+    want_T = cfg.diffusion.inference_T or cfg.diffusion.T
+    if ckpt_T is not None and ckpt_T != want_T:
+        params = extend_time_embedding(
+            params, want_T, strategy=cfg.train.time_embedding_strategy)
+    return params
+
+
 def run_sampler(cfg: Config, sched, eps_fn, x_T, key):
     """Dispatch ancestral DDPM vs DDIM per config (diffusion.sampler)."""
     if cfg.diffusion.sampler == "ddim":
@@ -275,24 +295,7 @@ def _sample_grid_during_training(cfg, model, state, conditional, epoch, key):
 def evaluate(cfg: Config, params=None) -> dict:
     model, conditional = build_model(cfg)
     if params is None:
-        assert cfg.test_load_weight, "eval needs test_load_weight"
-        template = init_params(cfg, model, conditional)
-        try:
-            # full training checkpoint (params+EMA+opt): prefer EMA weights
-            restored = restore_checkpoint(
-                os.path.join(cfg.save_weight_dir, cfg.test_load_weight))
-            params = restored.ema_params or restored.params
-        except Exception:
-            # weights-only checkpoint (what the reference's eval loads)
-            params = restore_params(
-                os.path.join(cfg.save_weight_dir, cfg.test_load_weight),
-                template=template)
-        # cross-T surgery if table embedding and inference_T differs
-        ckpt_T = detect_checkpoint_T(params)
-        want_T = cfg.diffusion.inference_T or cfg.diffusion.T
-        if ckpt_T is not None and ckpt_T != want_T:
-            params = extend_time_embedding(
-                params, want_T, strategy=cfg.train.time_embedding_strategy)
+        params = load_eval_params(cfg, model, conditional)
 
     sched = build_schedule(cfg, inference=True)
     eval_bs = cfg.train.eval_batch_size or min(cfg.train.batch_size, 64)
@@ -429,10 +432,7 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
 
     model, conditional = build_model(cfg)
     if params is None:
-        assert cfg.test_load_weight, "search needs test_load_weight"
-        params = restore_params(
-            os.path.join(cfg.save_weight_dir, cfg.test_load_weight),
-            template=init_params(cfg, model, conditional))
+        params = load_eval_params(cfg, model, conditional)
     sched = build_schedule(cfg, inference=True)
     s = cfg.search
     eval_bs = cfg.train.eval_batch_size or 8
@@ -530,11 +530,13 @@ def finetune_extended_T(cfg: Config, max_steps: Optional[int] = None) -> dict:
     configured (larger) T, freeze everything else, fine-tune."""
     model, conditional = build_model(cfg)
     sched = build_schedule(cfg)  # the NEW (extended) T
-    template = init_params(cfg, model, conditional)
     assert cfg.test_load_weight, "finetune needs test_load_weight"
-    params = restore_params(
-        os.path.join(cfg.save_weight_dir, cfg.test_load_weight),
-        template=None)
+    path = os.path.join(cfg.save_weight_dir, cfg.test_load_weight)
+    try:
+        restored = restore_checkpoint(path)  # full training checkpoint
+        params = restored.ema_params or restored.params
+    except Exception:
+        params = restore_params(path, template=None)  # weights-only
     ckpt_T = detect_checkpoint_T(params)
     if ckpt_T is not None and ckpt_T != cfg.diffusion.T:
         params = extend_time_embedding(
