@@ -57,6 +57,22 @@ def test_train_cfg_conditional(tmp_path):
     assert ev["images"].shape == (4, 8, 8, 3)
 
 
+def test_search_loads_full_training_checkpoint(tmp_path):
+    """Regression: `train` writes FULL checkpoints (step/params/opt/EMA);
+    search/eval/finetune must load those, not just weights-only dumps
+    (found by driving the CLI — the test suite passed params in-memory)."""
+    import os
+    from itsd_tpu.cli import runner
+    cfg = _tiny_cfg(tmp_path)
+    out = runner.train(cfg, max_steps=2)
+    cfg.test_load_weight = os.path.basename(out["checkpoints"][-1])
+    apply_overrides(cfg, ["search.algorithm=random",
+                          "search.n_candidates=2",
+                          "search.verifier=aesthetic"])
+    res = runner.run_search(cfg)  # params loaded from the checkpoint
+    assert np.isfinite(res["best_score"])
+
+
 def test_search_cli_path(tmp_path):
     from itsd_tpu.cli import runner
     cfg = _tiny_cfg(tmp_path)
