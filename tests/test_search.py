@@ -50,6 +50,18 @@ def test_random_search_picks_argmax(key):
     assert np.isfinite(np.asarray(res.best_images)).all()
 
 
+def test_best_of_n_scales_with_nfe(key):
+    """The paper's core claim on a tractable toy: more search NFE -> higher
+    best verifier score. One N=8 pool; best over the first k candidates is
+    monotone in k, and the full pool strictly beats the typical candidate."""
+    res = random_search(key, SHAPE, _denoise, _target_verifier,
+                        n_candidates=8, return_images=False)
+    scores = np.asarray(res.history["scores"])
+    prefix_best = np.maximum.accumulate(scores)
+    assert (np.diff(prefix_best) >= 0).all()
+    assert prefix_best[-1] > np.median(scores)  # search beats the median
+
+
 def test_zero_order_search_improves(key):
     init = jax.random.normal(jax.random.PRNGKey(5), SHAPE)
     res = zero_order_search(key, init, _denoise, _target_verifier,
