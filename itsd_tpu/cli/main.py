@@ -53,32 +53,11 @@ def main(argv=None) -> int:
         print(f"final loss: {out['final_loss']} "
               f"(ckpt T detected: {out['ckpt_T_detected']})")
     elif args.command == "inference-metrics":
-        from ..train.checkpoint import restore_params
-        from .runner import build_model, compute_real_features, init_params
-        import os
-        model, conditional = build_model(cfg)
-        assert cfg.test_load_weight, "needs test_load_weight"
-        params = restore_params(
-            os.path.join(cfg.save_weight_dir, cfg.test_load_weight),
-            template=init_params(cfg, model, conditional))
-        # best-available extractors + real features from the configured
-        # dataset (C25/C31): pretrained Inception if ITSD_INCEPTION_WEIGHTS
-        # is set, documented proxy otherwise
-        from ..metrics import default_extractors
-        feature_fn, logit_fn, provenance = default_extractors()
-        print(f"feature extractor: {provenance}")
-        real_features = None
-        try:
-            images, _ = runner.load_dataset(cfg)
-            real_features = compute_real_features(
-                (images + 1.0) / 2.0, feature_fn,
-                num_samples=cfg.train.fid_num_real_samples)
-        except Exception as e:
-            print(f"no real dataset available ({e}); FID will be NaN")
-        out = runner.sample_with_metrics(cfg, params,
-                                         feature_fn=feature_fn,
-                                         logit_fn=logit_fn,
-                                         real_features=real_features)
+        # full-checkpoint loading (EMA-preferring + cross-T surgery via
+        # load_eval_params), best-available Inception extractors, CLIP
+        # tracking when $ITSD_CLIP_WEIGHTS is set — matching
+        # `abstract_metrics_from_pretrained_ddpm.py:126-277,498-646`
+        out = runner.inference_metrics(cfg)
         print(f"tracked {len(out['history'])} metric points")
     return 0
 

@@ -26,7 +26,7 @@ import numpy as np
 from ..core import (ddim_sample, linear_schedule, make_cfg_eps_fn, sample,
                     sample_with_snapshots)
 from ..data import (BatchIterator, load_cifar10, load_image_folder,
-                    synthetic_dataset)
+                    shapes_dataset, synthetic_dataset)
 from ..models import UNet, ViT, ViTConfig, cond_unet_config, \
     uncond_unet_config
 from ..parallel import make_mesh, param_sharding, shard_batch
@@ -92,6 +92,13 @@ def load_dataset(cfg: Config):
         return synthetic_dataset(n=max(cfg.train.batch_size * 4, 256),
                                  img_size=d.img_size, num_labels=n_labels,
                                  seed=d.seed)
+    if d.dataset == "shapes":
+        n_labels = cfg.model.num_labels or 10
+        n = max(cfg.train.batch_size * 8, 2048)
+        if ratio is not None:
+            n = max(1, int(n * ratio))
+        return shapes_dataset(n=n, img_size=d.img_size,
+                              num_labels=n_labels, seed=d.seed)
     raise ValueError(f"unknown dataset: {d.dataset!r}")
 
 
@@ -153,6 +160,31 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     model, conditional = build_model(cfg)
     sched = build_schedule(cfg)
     images, labels = load_dataset(cfg)
+
+    # Metric-tracked eval during training (C23, `Train.py:516-536,719-803`):
+    # hold out a val split whose real features anchor FID/CLIP, and run
+    # tracked sampling every eval_freq epochs.
+    track = cfg.train.track_metrics
+    feature_fn = logit_fn = clip_feature_fn = None
+    real_features = real_clip_features = None
+    if track:
+        from ..metrics import default_extractors, make_clip_feature_fn
+        n_val = max(1, int(len(images) * cfg.data.val_ratio))
+        perm = np.random.default_rng(cfg.data.seed).permutation(len(images))
+        val_unit = (images[perm[:n_val]] + 1.0) / 2.0
+        images = images[perm[n_val:]]
+        if labels is not None:
+            labels = labels[perm[n_val:]]
+        feature_fn, logit_fn, provenance = default_extractors()
+        clip_feature_fn = make_clip_feature_fn()
+        print(f"[train] tracked-metric extractor: {provenance}")
+        real_features = compute_real_features(
+            val_unit, feature_fn, num_samples=cfg.train.fid_num_real_samples)
+        if clip_feature_fn is not None:
+            real_clip_features = compute_real_features(
+                val_unit, clip_feature_fn,
+                num_samples=cfg.train.clip_num_real_samples)
+
     it = BatchIterator(images, labels if conditional else None,
                        cfg.train.batch_size, seed=cfg.data.seed)
     steps_per_epoch = max(len(it), 1)
@@ -202,13 +234,19 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
         os.path.join(cfg.metrics_save_dir, "train_metrics.jsonl"),
         also_print=True)
     key = jax.random.PRNGKey(cfg.seed)
-    losses = []
+    losses = []   # device scalars; synced once at the end (not per step)
     ckpts = []
+    metrics_history = []
     step = 0
     t0 = time.time()
     from ..data.datasets import prefetch_to_device
     from ..parallel import batch_sharding
+    from ..train.checkpoint import AsyncCheckpointManager
+    from ..utils.profiling import trace_steps
     b_sharding = batch_sharding(mesh)
+    ckpt_mgr = AsyncCheckpointManager() if cfg.train.async_checkpoint else None
+    profiler = trace_steps(cfg.train.profile_steps,
+                           os.path.join(cfg.metrics_save_dir, "trace"))
     for epoch in range(cfg.train.epoch):
         epoch_loss = None
         epoch_reprs, epoch_repr_labels = [], []
@@ -226,10 +264,14 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
                 prefetch_to_device(host_batches(), size=2,
                                    sharding=b_sharding)):
             key, skey = jax.random.split(key)
-            state, metrics = step_fn(state, hbatch, skey)
+            with profiler.step():
+                state, metrics = step_fn(state, hbatch, skey)
             step += 1
+            # keep the loss as a device scalar: no host round-trip in the
+            # hot loop (the reference syncs with loss.item() every step,
+            # `Train.py:704`)
             epoch_loss = metrics["loss"]
-            losses.append(float(epoch_loss))
+            losses.append(epoch_loss)
             if (repr_fn is not None and extract_freq
                     and batch_i % extract_freq == 0):
                 labels_p1 = hbatch["label"].astype(jnp.int32) + 1
@@ -249,24 +291,48 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
                      representations=np.concatenate(epoch_reprs),
                      labels=np.concatenate(epoch_repr_labels))
         logger.log({"epoch": epoch, "step": step,
-                    "loss": float(epoch_loss),
+                    "loss": float(epoch_loss),  # one sync per epoch
                     "elapsed_s": time.time() - t0})
         if (epoch + 1) % cfg.train.model_save_freq == 0 or \
                 epoch == cfg.train.epoch - 1:
             path = os.path.join(cfg.save_weight_dir, f"ckpt_{epoch}")
-            save_checkpoint(path, jax.device_get(state))
+            if ckpt_mgr is not None:
+                ckpt_mgr.save(path, jax.device_get(state))
+            else:
+                save_checkpoint(path, jax.device_get(state))
             ckpts.append(path)
         if (epoch + 1) % cfg.train.eval_freq == 0:
-            _sample_grid_during_training(cfg, model, state, conditional,
-                                         epoch, key)
+            if track:
+                eval_params = (state.ema_params
+                               if state.ema_params is not None
+                               else state.params)
+                out = sample_with_metrics(
+                    cfg, eval_params, feature_fn=feature_fn,
+                    logit_fn=logit_fn, real_features=real_features,
+                    clip_feature_fn=clip_feature_fn,
+                    real_clip_features=real_clip_features,
+                    tag=f"epoch_{epoch}")
+                final = out["history"][-1] if out["history"] else None
+                metrics_history.append({"epoch": epoch,
+                                        "history": out["history"]})
+                if final is not None:
+                    logger.log({"epoch": epoch, "eval_fid": final[1],
+                                "eval_is": final[2], "eval_clip": final[3]})
+            else:
+                _sample_grid_during_training(cfg, model, state, conditional,
+                                             epoch, key)
         if max_steps is not None and step >= max_steps:
             break
 
+    if ckpt_mgr is not None:
+        ckpt_mgr.close()
+    losses = [float(x) for x in jax.device_get(losses)]
     plot_loss_curve(losses, os.path.join(cfg.metrics_save_dir,
                                          "loss_curve.png"))
     logger.close()
     return {"final_loss": losses[-1] if losses else None,
-            "steps": step, "checkpoints": ckpts, "state": state}
+            "steps": step, "checkpoints": ckpts, "state": state,
+            "metrics_history": metrics_history}
 
 
 def _sample_grid_during_training(cfg, model, state, conditional, epoch, key):
@@ -342,7 +408,7 @@ def compute_real_features(images_unit: np.ndarray, feature_fn,
 def sample_with_metrics(cfg: Config, params, feature_fn=None,
                         logit_fn=None, real_features=None,
                         clip_feature_fn=None,
-                        real_clip_features=None) -> dict:
+                        real_clip_features=None, tag: str = "") -> dict:
     """Sample while tracking FID/IS every `metric_interval` denoising steps.
 
     On-device snapshot collection (core.sample_with_snapshots), host-side
@@ -388,8 +454,12 @@ def sample_with_metrics(cfg: Config, params, feature_fn=None,
                 pass
         if logit_fn is not None:
             try:
+                # reference uses the 10-split protocol
+                # (`utils/metrics.py:377-417`); configurable via
+                # train.is_splits, clamped so every split is non-empty
+                splits = max(1, min(cfg.train.is_splits, len(unit)))
                 is_mean, _ = inception_score(logit_fn, jnp.asarray(unit),
-                                             splits=2)
+                                             splits=splits)
             except Exception:
                 pass
         if clip_feature_fn is not None and real_clip_features is not None:
@@ -405,20 +475,63 @@ def sample_with_metrics(cfg: Config, params, feature_fn=None,
         history.append((int(t), fid, is_mean, clip_s))
 
     os.makedirs(cfg.metrics_save_dir, exist_ok=True)
+    suffix = f"_{tag}" if tag else ""
     with open(os.path.join(cfg.metrics_save_dir,
-                           "metrics_history.json"), "w") as f:
+                           f"metrics_history{suffix}.json"), "w") as f:
         json.dump([{"t": h[0], "fid": h[1], "is": h[2], "clip": h[3]}
                    for h in history], f, indent=2, default=float)
     plot_metrics_curves(history,
                         os.path.join(cfg.metrics_save_dir,
-                                     "metrics_curves.png"), T=sched.T)
+                                     f"metrics_curves{suffix}.png"),
+                        T=sched.T)
     # descriptive filename like `abstract_metrics…py:554-601`
     final_fid = history[-1][1] if history else float("nan")
     stamp = time.strftime("%Y%m%d_%H%M%S")
-    name = (f"sampled_T{sched.T}_bs{eval_bs}_fid{final_fid:.2f}_{stamp}.png")
+    name = (f"sampled{suffix}_T{sched.T}_bs{eval_bs}"
+            f"_fid{final_fid:.2f}_{stamp}.png")
     save_image_grid(np.asarray(x0), os.path.join(cfg.sampled_dir, name),
                     nrow=cfg.nrow)
     return {"images": np.asarray(x0), "history": history}
+
+
+def inference_metrics(cfg: Config, feature_fn=None, logit_fn=None,
+                      clip_feature_fn=None) -> dict:
+    """The full inference-metrics pipeline (C31,
+    `/root/reference/abstract_metrics_from_pretrained_ddpm.py:498-646`):
+    load a checkpoint — full training checkpoints included, preferring EMA
+    weights, with cross-T time-embedding surgery (`:126-277`) — precompute
+    real Inception/CLIP features from the configured dataset, and run
+    metric-tracked sampling."""
+    from ..metrics import default_extractors, make_clip_feature_fn
+
+    model, conditional = build_model(cfg)
+    params = load_eval_params(cfg, model, conditional)
+
+    if feature_fn is None:
+        feature_fn, default_logit_fn, provenance = default_extractors()
+        if logit_fn is None:
+            logit_fn = default_logit_fn
+        print(f"feature extractor: {provenance}")
+    if clip_feature_fn is None:
+        clip_feature_fn = make_clip_feature_fn()
+
+    real_features = real_clip_features = None
+    try:
+        images, _ = load_dataset(cfg)
+        unit = (images + 1.0) / 2.0
+        if feature_fn is not None:
+            real_features = compute_real_features(
+                unit, feature_fn, num_samples=cfg.train.fid_num_real_samples)
+        if clip_feature_fn is not None:
+            real_clip_features = compute_real_features(
+                unit, clip_feature_fn,
+                num_samples=cfg.train.clip_num_real_samples)
+    except Exception as e:
+        print(f"no real dataset available ({e}); FID/CLIP will be NaN")
+    return sample_with_metrics(
+        cfg, params, feature_fn=feature_fn, logit_fn=logit_fn,
+        real_features=real_features, clip_feature_fn=clip_feature_fn,
+        real_clip_features=real_clip_features)
 
 
 # ---------------------------------------------------------------------------
@@ -426,6 +539,7 @@ def sample_with_metrics(cfg: Config, params, feature_fn=None,
 
 
 def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
+    from ..parallel import candidate_sharding, replicated
     from ..search import (aesthetic_score, batch_pixel_variance_score,
                           gradient_search, path_search, random_search,
                           self_supervised_verifier, zero_order_search)
@@ -437,6 +551,21 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
     s = cfg.search
     eval_bs = cfg.train.eval_batch_size or 8
     shape = (eval_bs, cfg.data.img_size, cfg.data.img_size, 3)
+
+    # Candidate-axis SPMD (SURVEY §3.3, "the #1 TPU win"): candidates shard
+    # over the mesh's data axis; params replicate. Only engaged when the
+    # folded candidate*batch axis divides the device count evenly.
+    n_dev = len(jax.devices())
+    n_fold = eval_bs * {"random": s.n_candidates,
+                        "zero_order": s.n_neighbors,
+                        "path": s.n_paths}.get(s.algorithm, 1)
+    mesh = cand_sh = None
+    if n_dev > 1 and n_fold % n_dev == 0:
+        mesh = make_mesh(axis_names=("data",))
+        cand_sh = candidate_sharding(mesh)
+        params = jax.device_put(params, replicated(mesh))
+        print(f"[search] sharding {n_fold} candidate rows over "
+              f"{n_dev} devices")
 
     if conditional:
         labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
@@ -464,7 +593,7 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
         @jax.jit
         def _run(k):
             r = random_search(k, shape, denoise_fn, verifier_fn,
-                              n_candidates=s.n_candidates)
+                              n_candidates=s.n_candidates, sharding=cand_sh)
             return (r.best_noise, r.best_score, r.best_images,
                     r.history["scores"])
         bn, bs, bi, sc = _run(key)
@@ -479,7 +608,7 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
                                   lambda_radius=s.lambda_radius,
                                   n_iterations=s.n_iterations,
                                   neighbor_mode=s.neighbor_mode,
-                                  return_images=True)
+                                  return_images=True, sharding=cand_sh)
             return (r.best_noise, r.best_score, r.best_images,
                     r.history["scores"])
         bn, bs, bi, sc = _run(key, init)
@@ -494,7 +623,8 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
         def _run(k):
             r = path_search(k, sched, eps_fn, verifier_fn, shape,
                             n_paths=s.n_paths, n_active=s.n_active,
-                            injection_steps=steps, delta_f=s.delta_f)
+                            injection_steps=steps, delta_f=s.delta_f,
+                            sharding=cand_sh)
             return (r.best_noise, r.best_score, r.best_images,
                     r.history["scores"], r.history["final_scores"])
         bn, bs, bi, sc, fsc = _run(key)

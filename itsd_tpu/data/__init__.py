@@ -1,5 +1,5 @@
 from .datasets import (BatchIterator, load_cifar10, load_image_folder,
-                       synthetic_dataset)
+                       shapes_dataset, synthetic_dataset)
 
 __all__ = ["BatchIterator", "load_cifar10", "load_image_folder",
-           "synthetic_dataset"]
+           "shapes_dataset", "synthetic_dataset"]

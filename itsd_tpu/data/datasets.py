@@ -194,3 +194,54 @@ def synthetic_dataset(n: int = 256, img_size: int = 32, num_labels: int = 10,
     imgs = np.tanh(imgs).astype(np.float32)
     labels = rng.integers(0, num_labels, size=n).astype(np.int32)
     return imgs, labels
+
+
+def shapes_dataset(n: int = 10000, img_size: int = 32, num_labels: int = 10,
+                   seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Procedurally generated class-structured images: 10 classes =
+    {circle, square, triangle, ring, cross} x 2 hue families, with jittered
+    position/scale/hue and textured background.
+
+    This is the self-contained stand-in for CIFAR-10 in environments with no
+    dataset on disk (BASELINE.md workloads need a *learnable* distribution
+    with class structure so a classifier verifier is meaningful — the
+    upsampled-noise `synthetic_dataset` has neither).
+    Returns (images [N,S,S,3] float32 in [-1,1], labels [N] int32).
+    """
+    rng = np.random.default_rng(seed)
+    S = img_size
+    yy, xx = np.mgrid[0:S, 0:S].astype(np.float32)
+    # base hue per class family (RGB in [0,1]); 2 families x 5 shapes
+    family_rgb = np.array([[0.9, 0.25, 0.2], [0.2, 0.45, 0.95]], np.float32)
+
+    imgs = np.empty((n, S, S, 3), dtype=np.float32)
+    labels = rng.integers(0, num_labels, size=n).astype(np.int32)
+    for i in range(n):
+        lab = labels[i]
+        shape_kind = lab % 5
+        fam = lab // 5
+        cx = S / 2 + rng.uniform(-S / 8, S / 8)
+        cy = S / 2 + rng.uniform(-S / 8, S / 8)
+        r = S * rng.uniform(0.22, 0.34)
+        dx, dy = xx - cx, yy - cy
+        if shape_kind == 0:      # circle
+            mask = (dx ** 2 + dy ** 2) <= r ** 2
+        elif shape_kind == 1:    # square
+            mask = (np.abs(dx) <= r * 0.85) & (np.abs(dy) <= r * 0.85)
+        elif shape_kind == 2:    # triangle (upward)
+            mask = (dy >= -r) & (dy <= r) & \
+                   (np.abs(dx) <= (dy + r) * 0.6)
+        elif shape_kind == 3:    # ring
+            rho = dx ** 2 + dy ** 2
+            mask = (rho <= r ** 2) & (rho >= (0.55 * r) ** 2)
+        else:                    # cross
+            mask = (np.abs(dx) <= r * 0.3) | (np.abs(dy) <= r * 0.3)
+            mask &= (np.abs(dx) <= r) & (np.abs(dy) <= r)
+        color = np.clip(
+            family_rgb[fam] + rng.uniform(-0.12, 0.12, 3), 0.0, 1.0)
+        bg = 0.45 + 0.1 * rng.standard_normal((S, S, 1)).astype(np.float32)
+        bg = np.clip(bg + rng.uniform(-0.15, 0.15), 0.0, 1.0)
+        img = np.broadcast_to(bg, (S, S, 3)).copy()
+        img[mask] = color
+        imgs[i] = img * 2.0 - 1.0
+    return imgs, labels

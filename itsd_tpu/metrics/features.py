@@ -27,6 +27,7 @@ from .inception import (inception_v3, init_random_params,
 FeatureFn = Callable[[jnp.ndarray], jnp.ndarray]
 
 INCEPTION_ENV = "ITSD_INCEPTION_WEIGHTS"
+CLIP_ENV = "ITSD_CLIP_WEIGHTS"
 
 
 @functools.lru_cache(maxsize=2)
@@ -68,8 +69,37 @@ def pixel_feature_fn(pool_hw: int = 8) -> FeatureFn:
     return feature_fn
 
 
+def make_clip_feature_fn(weights_path: Optional[str] = None
+                         ) -> Optional[FeatureFn]:
+    """CLIP image-feature extractor for CLIP-tracked sampling
+    (`/root/reference/Diffusion/Train.py:93-133`). Loads a HuggingFace
+    CLIPModel state_dict ``.pt``/``.pth`` from `weights_path` or
+    $ITSD_CLIP_WEIGHTS; returns None when no weights are available (the
+    reference degrades to no-CLIP mode the same way, `Train.py:609-617`)."""
+    weights_path = weights_path or os.environ.get(CLIP_ENV) or None
+    if not weights_path:
+        return None
+    import torch
+
+    from .clip import (clip_image_features, convert_transformers_clip,
+                       model_image_size)
+    from .clip import preprocess as clip_preprocess
+    sd = torch.load(weights_path, map_location="cpu", weights_only=True)
+    params = convert_transformers_clip(sd)
+    size = model_image_size(params)
+
+    @jax.jit
+    def feature_fn(images):
+        return clip_image_features(params, clip_preprocess(images, size))
+
+    return feature_fn
+
+
 def default_extractors(prefer_inception: bool = True):
-    """Best-available (feature_fn, logit_fn, provenance)."""
+    """Best-available (feature_fn, logit_fn, provenance). Set
+    $ITSD_PIXEL_FEATURES=1 to force the cheap pixel extractor (tests)."""
+    if os.environ.get("ITSD_PIXEL_FEATURES") == "1":
+        prefer_inception = False
     if prefer_inception:
         try:
             return make_inception_extractors()

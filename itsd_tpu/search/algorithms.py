@@ -183,6 +183,7 @@ def path_search(
     injection_steps: Sequence[int] = (400,),
     delta_f: int = 50,
     return_images: bool = True,
+    sharding=None,
 ) -> SearchResult:
     """Search over paths (paper §"beyond scaling denoising steps"; reference
     C12 intended this but ships a placeholder, `search_algorithm.py:305-334`).
@@ -208,8 +209,12 @@ def path_search(
     noise_shape = tuple(noise_shape)
     k0, key = jax.random.split(key)
     # Paths folded into the batch axis: x is always [n_paths * B, H, W, C].
+    # With a NamedSharding, the folded axis is constrained onto the mesh so
+    # each chip carries its shard of the path population (SURVEY §3.3).
+    shard = (lambda a: jax.lax.with_sharding_constraint(a, sharding)
+             if sharding is not None else a)
     x = jax.random.normal(k0, (n_paths,) + noise_shape)
-    x = x.reshape((-1,) + noise_shape[1:])
+    x = shard(x.reshape((-1,) + noise_shape[1:]))
     per_path = lambda a: a.reshape((n_paths,) + noise_shape)
 
     score_log = []
@@ -233,7 +238,7 @@ def path_search(
         survivors = per_path(x)[top_idx]                  # [n_active, B, ...]
         tiled = jnp.repeat(survivors, expand, axis=0)     # [n_paths, B, ...]
         t_prev = min(t_inj + delta_f, sched.T)
-        x = renoise(sched, tiled.reshape((-1,) + noise_shape[1:]),
+        x = renoise(sched, shard(tiled.reshape((-1,) + noise_shape[1:])),
                     t_inj, t_prev, ks)
 
     kf, _ = jax.random.split(key)

@@ -68,6 +68,8 @@ class AsyncCheckpointManager:
     def save(self, path: str, state: TrainState) -> None:
         path = _abspath(path)
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        # one save in flight at a time (drains the previous one first)
+        self._ckptr.wait_until_finished()
         self._ckptr.save(path, {
             "step": state.step,
             "params": state.params,

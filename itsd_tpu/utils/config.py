@@ -66,9 +66,20 @@ class TrainCfg:
     eval_freq: int = 5
     model_save_freq: int = 5
     metric_interval: int = 10
+    is_splits: int = 10                 # IS split count (`metrics.py:377-417`)
     eval_batch_size: Optional[int] = None
     fid_num_real_samples: int = 5000
     clip_num_real_samples: int = 5000
+    # metric-tracked sampling against a val split every `eval_freq` epochs
+    # during training (`Train.py:516-536,719-803`); off by default because it
+    # costs a full sampler run per eval
+    track_metrics: bool = False
+    # checkpoint saves run in a background thread (Orbax async); the
+    # reference blocks on torch.save each epoch
+    async_checkpoint: bool = True
+    # capture a jax.profiler trace of the first N train steps into
+    # `<metrics_save_dir>/trace` (0 disables)
+    profile_steps: int = 0
     training_load_weight: Optional[str] = None
     # representation extraction during training (TrainCondition.py:66-107);
     # 0 disables
@@ -87,6 +98,9 @@ class DataCfg:
     img_size: int = 32
     use_full_dataset: bool = True
     train_subset_ratio: float = 1.0
+    # fraction held out as the val split for real-feature FID/CLIP stats
+    # during metric-tracked training eval (`Train.py:516-536`)
+    val_ratio: float = 0.1
     seed: int = 0
 
 

@@ -45,3 +45,20 @@ def test_zero_order_sharded_runs(key):
                             n_iterations=2, sharding=sh)
     assert np.isfinite(float(res.best_score))
     assert res.history["scores"].shape == (2, 8)
+
+
+def test_path_search_sharded_matches_unsharded(key):
+    from itsd_tpu.search import path_search
+    mesh = make_mesh(axis_names=("data",))
+    sh = candidate_sharding(mesh)
+    eps_fn = lambda x, t: 0.1 * x
+    kw = dict(n_paths=8, n_active=2, injection_steps=(4,), delta_f=2,
+              noise_shape=(1, 8, 8, 3))
+    res_plain = path_search(key, SCHED, eps_fn, _verifier, **kw)
+    res_shard = path_search(key, SCHED, eps_fn, _verifier, sharding=sh, **kw)
+    np.testing.assert_allclose(np.asarray(res_plain.history["final_scores"]),
+                               np.asarray(res_shard.history["final_scores"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_plain.best_noise),
+                               np.asarray(res_shard.best_noise),
+                               rtol=1e-5, atol=1e-6)

@@ -131,3 +131,37 @@ def test_sharded_train_step_8_devices(key):
     # params remain replicated-consistent across devices
     leaf = jax.tree.leaves(state.params)[0]
     assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_dp_tp_step_matches_single_device(key):
+    """VERDICT r1 item 9: one step on a dp x tp (4x2) mesh must match the
+    single-device step numerically — tensor-parallel *correctness*, not just
+    finiteness (`parallel/mesh.py:59-78` shards wide kernels on 'model')."""
+    assert jax.device_count() >= 8
+    state, step = _make_state_and_step(TINY)
+    batch = {"image": jax.random.normal(key, (16, 8, 8, 3)) * 0.5}
+    k = jax.random.PRNGKey(7)
+    s_ref, m_ref = step(state, batch, k)
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    shardings = param_sharding(state.params, mesh)
+    # some kernels must actually shard on 'model' for this to test tp
+    assert any("model" in str(s.spec) for s in jax.tree.leaves(shardings))
+    state_m = state.replace(
+        params=jax.tree.map(jax.device_put, state.params, shardings),
+        ema_params=jax.tree.map(jax.device_put, state.ema_params, shardings),
+        opt_state=jax.device_put(state.opt_state),
+    )
+    batch_m = shard_batch(batch, mesh)
+    s_tp, m_tp = step(state_m, batch_m, k)
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_tp["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_ref.params),
+                    jax.tree.leaves(s_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(s_ref.ema_params),
+                    jax.tree.leaves(s_tp.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
