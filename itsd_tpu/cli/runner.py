@@ -507,6 +507,7 @@ def inference_metrics(cfg: Config, feature_fn=None, logit_fn=None,
     model, conditional = build_model(cfg)
     params = load_eval_params(cfg, model, conditional)
 
+    provenance = "custom"
     if feature_fn is None:
         feature_fn, default_logit_fn, provenance = default_extractors()
         if logit_fn is None:
@@ -528,10 +529,21 @@ def inference_metrics(cfg: Config, feature_fn=None, logit_fn=None,
                 num_samples=cfg.train.clip_num_real_samples)
     except Exception as e:
         print(f"no real dataset available ({e}); FID/CLIP will be NaN")
-    return sample_with_metrics(
+    out = sample_with_metrics(
         cfg, params, feature_fn=feature_fn, logit_fn=logit_fn,
         real_features=real_features, clip_feature_fn=clip_feature_fn,
         real_clip_features=real_clip_features)
+    # record extractor provenance next to the history so no FID number
+    # leaves the tool without its comparability caveat
+    with open(os.path.join(cfg.metrics_save_dir, "metrics_meta.json"),
+              "w") as f:
+        json.dump({"feature_extractor": provenance,
+                   "clip_tracking": clip_feature_fn is not None,
+                   "is_splits": cfg.train.is_splits,
+                   "comparable_to_published_fid":
+                       provenance == "pretrained"}, f, indent=2)
+    out["provenance"] = provenance
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,12 @@ def make_inception_extractors(
     Inputs are [B,H,W,C] in [0,1]."""
     weights_path = weights_path or os.environ.get(INCEPTION_ENV) or None
     params, provenance = _inception_params(weights_path)
+    if provenance == "random":
+        import sys
+        print("WARNING: FID/IS use a RANDOM-weight Inception-V3 (no "
+              f"pretrained weights; set ${INCEPTION_ENV} to a torchvision "
+              ".pth). Values are stable and ordering-discriminative but NOT "
+              "comparable to published FID/IS numbers.", file=sys.stderr)
 
     @jax.jit
     def _run(x):

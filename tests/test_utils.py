@@ -109,3 +109,23 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored.ema_params["params"]["w"]),
         np.asarray(params["params"]["w"]))
+
+
+def test_shapes_dataset_is_class_structured():
+    """The procedural shapes dataset must be learnable: images in [-1,1],
+    deterministic per seed, and with per-class pixel statistics that differ
+    (a classifier verifier needs real class structure — VERDICT r1 item 1)."""
+    import numpy as np
+    from itsd_tpu.data import shapes_dataset
+    x, y = shapes_dataset(n=200, img_size=16, seed=3)
+    assert x.shape == (200, 16, 16, 3) and x.dtype == np.float32
+    assert x.min() >= -1.0 and x.max() <= 1.0
+    assert set(np.unique(y)) <= set(range(10))
+    x2, y2 = shapes_dataset(n=200, img_size=16, seed=3)
+    np.testing.assert_array_equal(x, x2)
+    # family hue split: red-family classes (0-4) vs blue-family (5-9)
+    red = x[y < 5][..., 0].mean()
+    blue = x[y >= 5][..., 2].mean()
+    red_other = x[y >= 5][..., 0].mean()
+    assert red > red_other  # red channel hotter in the red family
+    assert blue > x[y < 5][..., 2].mean()
