@@ -1,5 +1,6 @@
 """SmallCNN classifier + classifier_verifier wiring (workload 3)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +19,7 @@ def _separable_data(n=512, img=8, classes=4, seed=0):
     return np.clip(images, 0, 1).astype(np.float32), labels
 
 
+@pytest.mark.slow
 def test_classifier_learns_separable_data():
     images, labels = _separable_data()
     cfg = ClassifierConfig(num_classes=4, ch=16, depth=2)
@@ -27,6 +29,7 @@ def test_classifier_learns_separable_data():
     assert acc > 0.9, acc
 
 
+@pytest.mark.slow
 def test_classifier_verifier_prefers_right_class():
     images, labels = _separable_data(n=256)
     cfg = ClassifierConfig(num_classes=4, ch=16, depth=2)
@@ -40,6 +43,7 @@ def test_classifier_verifier_prefers_right_class():
     assert float(v3(jnp.asarray(sel))) > float(v0(jnp.asarray(sel)))
 
 
+@pytest.mark.slow
 def test_classifier_shapes():
     m = SmallCNN(ClassifierConfig(num_classes=10, ch=8, depth=2))
     p = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 3)))

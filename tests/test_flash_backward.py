@@ -1,5 +1,6 @@
 """Flash attention backward kernels vs XLA autodiff (interpret mode)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +37,7 @@ def test_forward_stats_match(key):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_backward_matches_xla_grads(key):
     q, k, v, do = _inputs(key)
     o, lse = _attention_flash_stats(q, k, v, SCALE, block_q=128,

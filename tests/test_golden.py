@@ -34,6 +34,7 @@ def test_golden_schedule_values():
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_async_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
     from itsd_tpu.train import (OptimizerConfig, create_train_state,

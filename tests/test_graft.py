@@ -1,9 +1,11 @@
 """Driver entry points: single-chip forward and 8-device SPMD dry run."""
 
+import pytest
 import jax
 import numpy as np
 
 
+@pytest.mark.slow
 def test_entry_forward():
     import __graft_entry__ as g
     fn, args = g.entry()
@@ -12,6 +14,7 @@ def test_entry_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
     g.dryrun_multichip(8)  # raises on failure

@@ -18,6 +18,7 @@ def data(key):
     return x, scale, bias
 
 
+@pytest.mark.slow
 def test_xla_matches_torch_groupnorm(data):
     torch = pytest.importorskip("torch")
     x, scale, bias = data

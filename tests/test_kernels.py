@@ -34,6 +34,7 @@ def test_spatial_attention_softmax_property(key):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_mha_matches_per_head_single_head(key):
     B, N, H, D = 2, 16, 4, 8
     ks = jax.random.split(key, 3)

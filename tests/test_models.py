@@ -77,6 +77,7 @@ def test_conditional_embedding_null_class_is_constant():
     assert np.abs(np.asarray(out1) - np.asarray(out1b)).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_uncond_unet_shape_and_near_identity_init(key):
     model = UNet(TINY)
     x = jax.random.normal(key, (2, 16, 16, 3))
