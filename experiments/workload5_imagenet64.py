@@ -1,0 +1,129 @@
+"""BASELINE.md workload 5 measured: ImageNet-64 conditional DDPM, extended
+T=3000 (functional time embedding — no surgery needed), best-of-64 random
+search, CFG w=1.8, driven through the PRODUCT path (`cli.runner.run_search`,
+the same jitted end-to-end program the `search` CLI runs).
+
+Single-chip measurement; the candidate axis shards over a mesh when more
+devices are present (same code path proven on the 8-device virtual mesh in
+tests/test_sharded_search.py and in __graft_entry__.dryrun_multichip).
+
+Weights are freshly initialised — throughput at this scale is weight-value
+independent; the quality story at real scale is docs/RESULTS.md.
+
+Usage: python experiments/workload5_imagenet64.py [--candidates 64] [--t 3000]
+Writes: docs/results/workload5_imagenet64.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--candidates", type=int, default=64)
+    ap.add_argument("--t", type=int, default=3000)
+    ap.add_argument("--per-candidate-batch", type=int, default=1)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "docs", "results", "workload5_imagenet64.json"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from itsd_tpu.cli.runner import build_model, run_search
+    from itsd_tpu.utils.config import load_config
+
+    cfg = load_config(
+        os.path.join(REPO, "configs", "imagenet64_cond_search.yaml"),
+        overrides=[
+            f"search.n_candidates={args.candidates}",
+            f"inference_T={args.t}",
+            f"train.eval_batch_size={args.per_candidate_batch}",
+        ])
+
+    def note(m):
+        print(f"[w5] {m}", file=sys.stderr, flush=True)
+
+    note(f"init ImageNet-64 conditional UNet ({cfg.model.num_labels} labels, "
+         "bf16) ...")
+    model, conditional = build_model(cfg)
+    assert conditional
+    x = jnp.zeros((1, cfg.data.img_size, cfg.data.img_size, 3), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    lab = jnp.zeros((1,), jnp.int32)
+    t0 = time.perf_counter()
+    params = model.init(jax.random.PRNGKey(0), x, t, lab)
+    jax.block_until_ready(params)
+    note(f"init {time.perf_counter() - t0:.0f}s; running search "
+         f"(N={args.candidates}, T={args.t}, CFG w={cfg.diffusion.w}, "
+         f"batch/candidate={args.per_candidate_batch}) ...")
+
+    # 1) Product path once: the search CLI's own program (writes the grid
+    #    artifact). Includes trace+compile on this 1-CPU host.
+    t0 = time.perf_counter()
+    res = run_search(cfg, params=params)
+    first = time.perf_counter() - t0
+    note(f"product-path run (incl trace+compile): {first:.1f}s, "
+         f"best_score={res['best_score']:.4f}")
+
+    # 2) Steady-state device rate: the identical jitted program (same
+    #    library calls run_search makes), compiled once, timed hot.
+    from itsd_tpu.cli.runner import build_schedule, make_eps_fn
+    from itsd_tpu.core import sample
+    from itsd_tpu.search import random_search, self_supervised_verifier
+
+    sched = build_schedule(cfg, inference=True)
+    bs = cfg.train.eval_batch_size
+    labels = (jnp.arange(bs) % cfg.model.num_labels) + 1
+    eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
+    denoise_fn = lambda noise, k: sample(sched, eps_fn, noise, k)
+    shape = (bs, cfg.data.img_size, cfg.data.img_size, 3)
+    verifier = self_supervised_verifier()
+
+    @jax.jit
+    def program(k):
+        r = random_search(k, shape, denoise_fn, verifier,
+                          n_candidates=args.candidates, return_images=False)
+        return r.best_noise, r.best_score
+
+    times = []
+    for i in range(args.reps):
+        t0 = time.perf_counter()
+        out = program(jax.random.PRNGKey(100 + i))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+        note(f"steady rep {i}: {times[-1]:.1f}s"
+             + (" (incl compile)" if i == 0 else ""))
+    best = min(times[1:]) if len(times) > 1 else times[0]
+    nfe_model_evals = args.candidates * args.t * 2  # CFG: 2 evals/step
+    imgs = args.candidates * args.per_candidate_batch
+    report = {
+        "workload": "BASELINE.md #5: ImageNet-64 cond DDPM, extended "
+                    f"T={args.t}, best-of-{args.candidates} random search, "
+                    f"CFG w={cfg.diffusion.w}",
+        "device": str(jax.devices()[0]),
+        "n_devices": len(jax.devices()),
+        "product_path_wall_s_incl_compile": first,
+        "steady_wall_s": best,
+        "candidates_per_s": args.candidates / best,
+        "images_denoised_per_s": imgs / best,
+        "model_evals_per_s": nfe_model_evals / best,
+        "best_score": float(res["best_score"]) if res else None,
+        "all_s": times,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -146,9 +146,17 @@ def make_cfg_eps_fn(model_eps_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarra
     2x larger matmul instead of two half-size launches.
     """
     def eps_fn(x_t: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        # Search folds the candidate axis into the batch (N*B rows); labels
+        # are per-batch-position [B], so tile them across the fold.
+        lab = labels
+        if x_t.shape[0] != lab.shape[0]:
+            assert x_t.shape[0] % lab.shape[0] == 0, (
+                f"batch {x_t.shape[0]} not a multiple of labels "
+                f"{lab.shape[0]}")
+            lab = jnp.tile(lab, x_t.shape[0] // lab.shape[0])
         x2 = jnp.concatenate([x_t, x_t], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
-        lab2 = jnp.concatenate([labels, jnp.zeros_like(labels)], axis=0)
+        lab2 = jnp.concatenate([lab, jnp.zeros_like(lab)], axis=0)
         eps2 = model_eps_fn(x2, t2, lab2)
         eps_c, eps_u = jnp.split(eps2, 2, axis=0)
         return cfg_combine(eps_c, eps_u, w)

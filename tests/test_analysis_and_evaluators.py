@@ -41,6 +41,7 @@ def test_analyze_cli_end_to_end(tmp_path):
     assert (out / "representation_evolution.png").exists()
 
 
+@pytest.mark.slow
 def test_fid_evaluator_class():
     """FID class with the pixel-feature fallback: identical batches -> ~0,
     shifted batches -> larger."""

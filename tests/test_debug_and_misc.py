@@ -43,6 +43,7 @@ def test_profiling_noop_context():
         pass  # no log dir -> no-op
 
 
+@pytest.mark.slow
 def test_vit_backbone_pipeline(tmp_path):
     from itsd_tpu.cli import runner
     from itsd_tpu.utils import Config, apply_overrides

@@ -31,6 +31,7 @@ def _tiny_cfg(tmp_path, conditional=False):
     return cfg
 
 
+@pytest.mark.slow
 def test_train_then_eval_uncond(tmp_path):
     from itsd_tpu.cli import runner
     cfg = _tiny_cfg(tmp_path)
@@ -48,6 +49,7 @@ def test_train_then_eval_uncond(tmp_path):
                                        "loss_curve.png"))
 
 
+@pytest.mark.slow
 def test_train_cfg_conditional(tmp_path):
     from itsd_tpu.cli import runner
     cfg = _tiny_cfg(tmp_path, conditional=True)
@@ -57,6 +59,7 @@ def test_train_cfg_conditional(tmp_path):
     assert ev["images"].shape == (4, 8, 8, 3)
 
 
+@pytest.mark.slow
 def test_search_loads_full_training_checkpoint(tmp_path):
     """Regression: `train` writes FULL checkpoints (step/params/opt/EMA);
     search/eval/finetune must load those, not just weights-only dumps
@@ -73,6 +76,7 @@ def test_search_loads_full_training_checkpoint(tmp_path):
     assert np.isfinite(res["best_score"])
 
 
+@pytest.mark.slow
 def test_search_cli_path(tmp_path):
     from itsd_tpu.cli import runner
     cfg = _tiny_cfg(tmp_path)
@@ -91,6 +95,28 @@ def test_search_cli_path(tmp_path):
         assert res["nfes"] > 0
 
 
+def test_conditional_search_folds_candidates(tmp_path):
+    """Conditional (CFG) search with n_candidates>1: the candidate fold must
+    tile the per-batch labels (regression — crashed on the ImageNet-64
+    workload-5 config before the fix in core/process.py)."""
+    import jax
+    import jax.numpy as jnp
+    from itsd_tpu.cli import runner
+    cfg = _tiny_cfg(tmp_path, conditional=True)
+    apply_overrides(cfg, ["search.algorithm=random",
+                          "search.n_candidates=3",
+                          "search.verifier=self_supervised"])
+    model, conditional = runner.build_model(cfg)
+    assert conditional
+    x = jnp.zeros((1, cfg.data.img_size, cfg.data.img_size, 3))
+    params = model.init(jax.random.PRNGKey(0), x,
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1,), jnp.int32))
+    res = runner.run_search(cfg, params=params)
+    assert np.isfinite(res["best_score"])
+
+
+@pytest.mark.slow
 def test_metric_tracked_sampling(tmp_path):
     from itsd_tpu.cli import runner
     cfg = _tiny_cfg(tmp_path)
@@ -114,6 +140,7 @@ def test_metric_tracked_sampling(tmp_path):
                                        "metrics_curves.png"))
 
 
+@pytest.mark.slow
 def test_finetune_extended_T(tmp_path):
     from itsd_tpu.cli import runner
     from itsd_tpu.train.checkpoint import save_params
@@ -134,6 +161,7 @@ def test_finetune_extended_T(tmp_path):
     assert ft["checkpoints"]
 
 
+@pytest.mark.slow
 def test_cli_main_smoke(tmp_path, capsys):
     from itsd_tpu.cli.main import main
     rc = main(["train", "data.dataset=synthetic", "data.img_size=8",
@@ -146,6 +174,7 @@ def test_cli_main_smoke(tmp_path, capsys):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_inference_metrics_on_full_checkpoint(tmp_path, monkeypatch):
     """VERDICT r1 item 2: inference-metrics must load the FULL training
     checkpoints that `train` writes (EMA-preferring, via load_eval_params),
@@ -179,6 +208,7 @@ def test_inference_metrics_on_full_checkpoint(tmp_path, monkeypatch):
                                        "metrics_history.json"))
 
 
+@pytest.mark.slow
 def test_train_with_tracked_metrics_and_profile(tmp_path, monkeypatch):
     """VERDICT r1 items 4+6: metric-tracked eval against a val split runs
     during training (`Train.py:516-536,719-803`), checkpoints save through
@@ -208,6 +238,7 @@ def test_train_with_tracked_metrics_and_profile(tmp_path, monkeypatch):
     assert restored.params is not None
 
 
+@pytest.mark.slow
 def test_run_search_cli_engages_candidate_sharding(tmp_path, capsys,
                                                    monkeypatch):
     """VERDICT r1 item 3: the search CLI builds the mesh itself and shards

@@ -82,6 +82,27 @@ def test_make_cfg_eps_fn_dual_batch_equals_two_calls(key):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
 
 
+def test_make_cfg_eps_fn_folded_candidate_axis(key):
+    """Search folds candidates into the batch (N*B rows); labels stay [B].
+    Regression: found driving the conditional ImageNet-64 search workload —
+    the CFG closure broadcast labels [B] against x [N*B] and crashed."""
+    W = jax.random.normal(key, (3, 3))
+
+    def model(x, t, labels):
+        return x @ W + labels[:, None, None, None].astype(jnp.float32)
+
+    B, N = 2, 3
+    labels = jnp.array([5, 9])
+    x = jax.random.normal(jax.random.PRNGKey(1), (N * B, 2, 2, 3))
+    t = jnp.zeros((N * B,), jnp.int32)
+    eps_fn = make_cfg_eps_fn(model, labels, 1.8)
+    got = eps_fn(x, t)
+    tiled = jnp.tile(labels, N)
+    want = cfg_combine(model(x, t, tiled),
+                       model(x, t, jnp.zeros_like(tiled)), 1.8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
 def test_predict_x0_roundtrip(key):
     """q_sample then predict_x0_from_eps with the true noise recovers x_0."""
     x0 = jax.random.normal(key, (8, 4, 4, 3))

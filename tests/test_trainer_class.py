@@ -1,5 +1,6 @@
 """Class-based Trainer facade (the reference's unfinished Trainer intent)."""
 
+import pytest
 import numpy as np
 
 from itsd_tpu.train.trainer import Trainer
@@ -21,6 +22,7 @@ def _cfg(tmp_path):
     return cfg
 
 
+@pytest.mark.slow
 def test_trainer_fit_sample_save_load(tmp_path):
     tr = Trainer(_cfg(tmp_path))
     out = tr.fit(max_steps=2)
