@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import (ddim_sample, linear_schedule, make_cfg_eps_fn, sample,
+from ..core import (ddim_sample, dpm_solver_sample, linear_schedule,
+                    make_cfg_eps_fn, sample,
                     sample_with_snapshots)
 from ..data import (BatchIterator, load_cifar10, load_image_folder,
                     shapes_dataset, synthetic_dataset)
@@ -132,11 +133,17 @@ def load_eval_params(cfg: Config, model, conditional: bool):
 
 
 def run_sampler(cfg: Config, sched, eps_fn, x_T, key):
-    """Dispatch ancestral DDPM vs DDIM per config (diffusion.sampler)."""
+    """Dispatch ancestral DDPM vs DDIM vs DPM-Solver++ per config
+    (diffusion.sampler; ddim_steps is the step budget for both solvers)."""
     if cfg.diffusion.sampler == "ddim":
         return ddim_sample(sched, eps_fn, x_T, key,
                            num_steps=min(cfg.diffusion.ddim_steps, sched.T),
                            eta=cfg.diffusion.ddim_eta)
+    if cfg.diffusion.sampler == "dpm":
+        return dpm_solver_sample(
+            sched, eps_fn, x_T, key,
+            num_steps=min(cfg.diffusion.ddim_steps, sched.T))
+    assert cfg.diffusion.sampler == "ddpm", cfg.diffusion.sampler
     return sample(sched, eps_fn, x_T, key)
 
 
@@ -568,7 +575,14 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
     # over the mesh's data axis; params replicate. Only engaged when the
     # folded candidate*batch axis divides the device count evenly.
     n_dev = len(jax.devices())
-    n_fold = eval_bs * {"random": s.n_candidates,
+    chunk = s.n_candidates
+    if s.algorithm == "random" and s.candidate_chunk:
+        chunk = min(s.candidate_chunk, s.n_candidates)
+        if s.n_candidates % chunk:
+            raise ValueError(
+                f"search.candidate_chunk={chunk} must divide "
+                f"n_candidates={s.n_candidates}")
+    n_fold = eval_bs * {"random": chunk,
                         "zero_order": s.n_neighbors,
                         "path": s.n_paths}.get(s.algorithm, 1)
     mesh = cand_sh = None
@@ -605,11 +619,23 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
         @jax.jit
         def _run(k):
             r = random_search(k, shape, denoise_fn, verifier_fn,
-                              n_candidates=s.n_candidates, sharding=cand_sh)
+                              n_candidates=chunk, sharding=cand_sh)
             return (r.best_noise, r.best_score, r.best_images,
                     r.history["scores"])
-        bn, bs, bi, sc = _run(key)
-        res = SearchResult(bn, bs, bi, {"scores": sc}, s.n_candidates)
+        # One compiled program per chunk shape; chunks reuse it. The host
+        # keeps the running argmax — a sync per chunk, not per candidate
+        # (the reference syncs per candidate, `search_algorithm.py:65-82`).
+        best = None
+        all_scores = []
+        for ci in range(s.n_candidates // chunk):
+            bn, bsc, bi, sc = _run(jax.random.fold_in(key, ci))
+            bsc = float(bsc)
+            all_scores.append(np.asarray(sc))
+            if best is None or bsc > best[1]:
+                best = (bn, bsc, bi)
+        res = SearchResult(best[0], best[1], best[2],
+                           {"scores": np.concatenate(all_scores)},
+                           s.n_candidates)
     elif s.algorithm == "zero_order":
         init = jax.random.normal(jax.random.fold_in(key, 0), shape)
 

@@ -158,6 +158,77 @@ def ddim_sample(sched: DiffusionSchedule, eps_fn: EpsFn, x_T: jnp.ndarray,
     return jnp.clip(x, -1.0, 1.0) if clip_output else x
 
 
+def dpm_solver_sample(sched: DiffusionSchedule, eps_fn: EpsFn,
+                      x_T: jnp.ndarray, key: jax.Array, *,
+                      num_steps: int = 20,
+                      clip_output: bool = True) -> jnp.ndarray:
+    """DPM-Solver++(2M) (Lu et al. 2022): deterministic second-order
+    *multistep* probability-flow sampling — beyond the reference's surface
+    (its only samplers are ancestral DDPM loops,
+    `/root/reference/Diffusion/Diffusion.py:84-102`). Each step reuses the
+    previous model output, so the cost per step is exactly one eps eval
+    (same NFE accounting as DDIM) but the local error is O(h^3) instead of
+    O(h^2): ~10-20 steps match DDIM-50 quality, which multiplies best-of-N
+    search throughput at fixed NFE budget.
+
+    Works off the same eps-prediction model and ``alphas_bar`` as the other
+    samplers — any checkpoint works unchanged. All per-step coefficients
+    (log-SNR gaps, sigma ratios, multistep weights) are precomputed on host
+    in float64 at trace time; the scanned body is one model eval plus a
+    few fused AXPYs. The last step is first-order with a zero terminal
+    sigma (the standard "lower-order final" rule), which lands exactly on
+    the x0 prediction. ``key`` is accepted for signature uniformity with
+    the stochastic samplers but unused (the solver is deterministic).
+    """
+    import numpy as np
+
+    T = sched.T
+    assert 2 <= num_steps <= T
+    ab = np.asarray(sched.alphas_bar, dtype=np.float64)
+    # Uniform log-SNR (lambda) grid, snapped to the discrete timesteps the
+    # eps model understands. A uniform-t grid wastes the step budget where
+    # lambda barely moves and takes giant lambda strides near the clean end
+    # — measured: uniform-t plateaus at ~0.1 ODE error regardless of order,
+    # uniform-lambda restores the O(h^2) global convergence.
+    lam_all = 0.5 * (np.log(ab) - np.log1p(-ab))
+    lam_grid = np.linspace(lam_all[T - 1], lam_all[0], num_steps)
+    ts = np.asarray([np.abs(lam_all - l).argmin() for l in lam_grid])
+    ts = np.unique(ts)[::-1].astype(np.int32)   # decreasing t, deduped
+    alph = np.sqrt(ab[ts])
+    sig = np.sqrt(1.0 - ab[ts])
+    lam = np.log(alph / sig)          # log-SNR/2, strictly increasing
+    h = np.diff(lam)                  # h[i] = lam[i+1] - lam[i] > 0
+
+    ns = len(ts)
+    # Step i moves state i -> state i+1; state ns is clean (alpha 1, sigma 0).
+    sig_ratio = np.zeros(ns)
+    alph_next = np.ones(ns)
+    phi = np.full(ns, -1.0)           # expm1(-h), -> -1 at the terminal step
+    c1 = np.zeros(ns)                 # 0.5/r weight on (x0_i - x0_{i-1})
+    sig_ratio[:ns - 1] = sig[1:] / sig[:-1]
+    alph_next[:ns - 1] = alph[1:]
+    phi[:ns - 1] = np.expm1(-h)
+    if ns >= 3:
+        c1[1:ns - 1] = 0.5 * h[1:] / h[:-1]
+
+    xs = (jnp.asarray(ts, dtype=jnp.int32),) + tuple(
+        jnp.asarray(v, dtype=jnp.float32)
+        for v in (sig, alph, sig_ratio, alph_next, phi, c1))
+
+    def step(carry, per_step):
+        x, x0_prev = carry
+        t_i, sig_i, alph_i, sr, an, ph, c = per_step
+        tb = jnp.full((x.shape[0],), t_i, dtype=jnp.int32)
+        eps = eps_fn(x, tb)
+        x0 = (x - sig_i * eps) / alph_i
+        d = x0 + c * (x0 - x0_prev)   # c=0 on first/last step => first-order
+        x = sr * x - an * ph * d
+        return (x, x0), None
+
+    (x, _), _ = lax.scan(step, (x_T, jnp.zeros_like(x_T)), xs)
+    return jnp.clip(x, -1.0, 1.0) if clip_output else x
+
+
 def sample_with_snapshots(
     sched: DiffusionSchedule, eps_fn: EpsFn, x_T: jnp.ndarray, key: jax.Array,
     interval: int, *, clip_output: bool = True,

@@ -47,8 +47,8 @@ class DiffusionCfg:
     beta_1: float = 1e-4
     beta_T: float = 0.02
     w: float = 0.0                      # CFG guidance weight
-    sampler: str = "ddpm"               # "ddpm" (ancestral) | "ddim"
-    ddim_steps: int = 50
+    sampler: str = "ddpm"               # "ddpm" (ancestral) | "ddim" | "dpm"
+    ddim_steps: int = 50                # step budget for ddim AND dpm
     ddim_eta: float = 0.0
 
 
@@ -109,6 +109,11 @@ class SearchCfg:
     algorithm: str = "random"           # random|zero_order|path|gradient
     verifier: str = "oracle"            # oracle|self_supervised|aesthetic|classifier|ensemble
     n_candidates: int = 4
+    # Random search: candidates evaluated per device launch (None = all at
+    # once). Chunking bounds per-launch runtime/memory — huge searches
+    # (e.g. best-of-64 at T=3000) otherwise run one multi-minute XLA
+    # program, which device watchdogs can kill. Must divide n_candidates.
+    candidate_chunk: Optional[int] = None
     n_neighbors: int = 4
     lambda_radius: float = 0.95
     n_iterations: int = 10

@@ -116,6 +116,29 @@ def test_conditional_search_folds_candidates(tmp_path):
     assert np.isfinite(res["best_score"])
 
 
+def test_random_search_candidate_chunking(tmp_path):
+    """search.candidate_chunk splits a big random search into several
+    shorter device launches (one compiled program, reused); the result must
+    cover all n_candidates and best_score must be the max over every chunk's
+    scores."""
+    from itsd_tpu.cli import runner
+    cfg = _tiny_cfg(tmp_path)
+    apply_overrides(cfg, ["search.algorithm=random",
+                          "search.n_candidates=6",
+                          "search.candidate_chunk=2",
+                          "search.verifier=self_supervised"])
+    model, _ = runner.build_model(cfg)
+    import jax
+    import jax.numpy as jnp
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, cfg.data.img_size, cfg.data.img_size,
+                                   3)), jnp.zeros((1,), jnp.int32))
+    res = runner.run_search(cfg, params=params)
+    scores = np.asarray(res["result"].history["scores"]).ravel()
+    assert scores.size == 6
+    assert np.isclose(res["best_score"], scores.max())
+
+
 @pytest.mark.slow
 def test_metric_tracked_sampling(tmp_path):
     from itsd_tpu.cli import runner
