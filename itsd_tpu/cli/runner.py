@@ -246,7 +246,7 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     metrics_history = []
     step = 0
     t0 = time.time()
-    from ..data.datasets import prefetch_to_device
+    from ..data.datasets import prefetch_to_device, threaded_prefetch
     from ..parallel import batch_sharding
     from ..train.checkpoint import AsyncCheckpointManager
     from ..utils.profiling import trace_steps
@@ -265,11 +265,13 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
                 else:
                     yield {"image": b["image"]}
 
-        # device prefetch (depth 2): next batch transfers (sharded over the
+        # prefetch (depth 2): the host side of the pipeline runs on a
+        # producer thread and the next batch transfers (sharded over the
         # mesh) while the current step computes
+        _prefetch = (threaded_prefetch if cfg.train.threaded_input
+                     else prefetch_to_device)
         for batch_i, hbatch in enumerate(
-                prefetch_to_device(host_batches(), size=2,
-                                   sharding=b_sharding)):
+                _prefetch(host_batches(), size=2, sharding=b_sharding)):
             key, skey = jax.random.split(key)
             with profiler.step():
                 state, metrics = step_fn(state, hbatch, skey)
@@ -598,7 +600,10 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
         eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
     else:
         eps_fn = make_eps_fn(model, params, False)
-    denoise_fn = lambda noise, k: sample(sched, eps_fn, noise, k)
+    # Respect diffusion.sampler: searching over cheap second-order
+    # candidates (sampler=dpm ddim_steps=20) dominates ancestral candidates
+    # at every fixed NFE budget (docs/RESULTS.md "Axis 3").
+    denoise_fn = lambda noise, k: run_sampler(cfg, sched, eps_fn, noise, k)
 
     if verifier_fn is None:
         verifier_fn = {

@@ -184,6 +184,49 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
         yield queue.popleft()
 
 
+def threaded_prefetch(iterator, size: int = 2, sharding=None):
+    """Like `prefetch_to_device`, but the host side of the pipeline (batch
+    assembly, augmentation, the numpy->device_put handoff) runs on a
+    producer thread, so it overlaps with the training step's Python
+    dispatch — the TPU-native answer to the reference's DataLoader worker
+    processes (`Train.py:512-514`). `jax.device_put` is thread-safe and
+    async, so the HBM transfer itself also overlaps device compute.
+
+    Exceptions in the producer propagate to the consumer; the thread is a
+    daemon and dies with the process if the consumer stops early.
+    """
+    import queue as queue_mod
+    import threading
+
+    import jax
+
+    q = queue_mod.Queue(maxsize=max(1, size))
+    _END = object()
+
+    def produce():
+        try:
+            for batch in iterator:
+                if sharding is not None:
+                    batch = {k: jax.device_put(v, sharding)
+                             for k, v in batch.items()}
+                else:
+                    batch = {k: jax.device_put(v) for k, v in batch.items()}
+                q.put(batch)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — propagate to consumer
+            q.put(e)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def synthetic_dataset(n: int = 256, img_size: int = 32, num_labels: int = 10,
                       seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic random data (smooth blobs, not white noise) for tests

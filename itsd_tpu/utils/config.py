@@ -77,6 +77,10 @@ class TrainCfg:
     # checkpoint saves run in a background thread (Orbax async); the
     # reference blocks on torch.save each epoch
     async_checkpoint: bool = True
+    # host batch prep + device_put on a producer thread (overlaps the
+    # training step's Python dispatch; the reference uses DataLoader
+    # worker processes for the same purpose, Train.py:512-514)
+    threaded_input: bool = True
     # capture a jax.profiler trace of the first N train steps into
     # `<metrics_save_dir>/trace` (0 disables)
     profile_steps: int = 0

@@ -116,6 +116,27 @@ def test_conditional_search_folds_candidates(tmp_path):
     assert np.isfinite(res["best_score"])
 
 
+def test_search_respects_fast_sampler(tmp_path):
+    """diffusion.sampler=dpm flows into the search denoiser: a best-of-N
+    over 4-step DPM-Solver candidates (the winning fixed-budget allocation,
+    docs/RESULTS.md Axis 3) must run through the product path."""
+    from itsd_tpu.cli import runner
+    cfg = _tiny_cfg(tmp_path)
+    apply_overrides(cfg, ["search.algorithm=random",
+                          "search.n_candidates=3",
+                          "search.verifier=self_supervised",
+                          "diffusion.sampler=dpm",
+                          "diffusion.ddim_steps=4"])
+    model, _ = runner.build_model(cfg)
+    import jax
+    import jax.numpy as jnp
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, cfg.data.img_size, cfg.data.img_size,
+                                   3)), jnp.zeros((1,), jnp.int32))
+    res = runner.run_search(cfg, params=params)
+    assert np.isfinite(res["best_score"])
+
+
 def test_random_search_candidate_chunking(tmp_path):
     """search.candidate_chunk splits a big random search into several
     shorter device launches (one compiled program, reused); the result must

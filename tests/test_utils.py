@@ -129,3 +129,33 @@ def test_shapes_dataset_is_class_structured():
     red_other = x[y >= 5][..., 0].mean()
     assert red > red_other  # red channel hotter in the red family
     assert blue > x[y < 5][..., 2].mean()
+
+
+def test_threaded_prefetch_order_sharding_and_errors():
+    """threaded_prefetch: same batches in the same order as the source
+    iterator, batches land sharded over the mesh, and producer exceptions
+    surface at the consumer (not silently swallowed on the thread)."""
+    import jax
+    from itsd_tpu.data.datasets import threaded_prefetch
+    from itsd_tpu.parallel import batch_sharding, make_mesh
+
+    batches = [{"image": np.full((8, 4, 4, 3), i, np.float32)}
+               for i in range(5)]
+    got = list(threaded_prefetch(iter(batches), size=2))
+    assert len(got) == 5
+    for i, b in enumerate(got):
+        assert float(np.asarray(b["image"])[0, 0, 0, 0]) == i
+
+    mesh = make_mesh(axis_names=("data",))
+    sh = batch_sharding(mesh)
+    got = list(threaded_prefetch(iter(batches[:2]), size=2, sharding=sh))
+    assert got[0]["image"].sharding == sh
+
+    def bad():
+        yield batches[0]
+        raise RuntimeError("producer boom")
+
+    it = threaded_prefetch(bad(), size=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="producer boom"):
+        next(it)
