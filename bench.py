@@ -260,6 +260,37 @@ def measure_ensemble_search() -> dict:
     return out
 
 
+def measure_dpm() -> dict:
+    """DPM-Solver++(2M) fast sampling (beyond the reference's surface):
+    same workload-1 model, 20 evals per image instead of T."""
+    import jax
+    import jax.numpy as jnp
+    from itsd_tpu.core import dpm_solver_sample, linear_schedule
+    from itsd_tpu.models import UNet, uncond_unet_config
+
+    steps = int(os.environ.get("BENCH_DPM_STEPS", "20"))
+    cfg = uncond_unet_config(ch=128, ch_mult=(1, 2, 2, 2), attn=(1,),
+                             num_res_blocks=2, dropout=0.1, dtype="bfloat16")
+    model = UNet(cfg)
+    sched = linear_schedule(1e-4, 0.02, T)
+    x = jnp.zeros((BATCH, IMG, IMG, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x,
+                        jnp.zeros((BATCH,), jnp.int32))
+    eps_fn = lambda xx, tt: model.apply(params, xx, tt)
+    run = jax.jit(lambda noise, key: dpm_solver_sample(
+        sched, eps_fn, noise, key, num_steps=steps))
+    noise = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+    run(noise, jax.random.PRNGKey(1)).block_until_ready()  # compile
+    times = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        run(noise, jax.random.PRNGKey(10 + i)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {"images_per_sec": round(BATCH / best, 4), "num_steps": steps,
+            "schedule_T": T, "wall_seconds": round(best, 4)}
+
+
 def measure_search() -> dict:
     """Best-of-N random search throughput (BASELINE.md workload 3):
     N=16 candidates x batch 8, self-supervised verifier, one jitted program
@@ -314,7 +345,8 @@ def main():
     extra = {}
     if os.environ.get("BENCH_FAST") != "1":
         for name, fn in (("cfg", measure_cfg), ("search", measure_search),
-                         ("ensemble_search", measure_ensemble_search)):
+                         ("ensemble_search", measure_ensemble_search),
+                         ("fast_sampler", measure_dpm)):
             try:
                 log(f"[bench] measuring workload: {name} ...")
                 extra[name] = fn()
