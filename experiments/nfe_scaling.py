@@ -189,6 +189,16 @@ def main():
     scores, best_imgs = run_random(jax.random.PRNGKey(20))
     scores = np.asarray(scores)
     wall = time.time() - t0
+    # visual artifacts: unguided samples vs the best-of-N winner batch
+    from itsd_tpu.utils.images import save_image_grid
+    plain = jax.jit(lambda k: sample(
+        sched, eps_fn, jax.random.normal(k, (16, a.img, a.img, 3)),
+        jax.random.fold_in(k, 1)))(jax.random.PRNGKey(21))
+    save_image_grid(np.asarray(plain),
+                    os.path.join(a.outdir, "nfe_scaling_samples.png"), nrow=4)
+    save_image_grid(np.asarray(best_imgs),
+                    os.path.join(a.outdir, "nfe_scaling_best_of_n.png"),
+                    nrow=2)
     # bootstrap E[max of a random N-subset] from the one candidate pool
     rng = np.random.default_rng(0)
     for nn in [1, 2, 4, 8, 16, 32, 64]:
