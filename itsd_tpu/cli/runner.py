@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import (ddim_sample, dpm_solver_sample, linear_schedule,
-                    make_cfg_eps_fn, sample,
+                    make_cfg_eps_fn, parallel_picard_sample, sample,
                     sample_with_snapshots)
 from ..data import (BatchIterator, load_cifar10, load_image_folder,
                     shapes_dataset, synthetic_dataset)
@@ -143,6 +143,11 @@ def run_sampler(cfg: Config, sched, eps_fn, x_T, key):
         return dpm_solver_sample(
             sched, eps_fn, x_T, key,
             num_steps=min(cfg.diffusion.ddim_steps, sched.T))
+    if cfg.diffusion.sampler == "picard":
+        imgs, _ = parallel_picard_sample(
+            sched, eps_fn, x_T, key,
+            num_steps=min(cfg.diffusion.ddim_steps, sched.T))
+        return imgs
     assert cfg.diffusion.sampler == "ddpm", cfg.diffusion.sampler
     return sample(sched, eps_fn, x_T, key)
 

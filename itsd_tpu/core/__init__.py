@@ -15,6 +15,7 @@ from .process import (
 from .sampling import (
     ddim_sample,
     dpm_solver_sample,
+    parallel_picard_sample,
     sample,
     denoise_segment,
     renoise,
@@ -26,6 +27,6 @@ __all__ = [
     "extract", "q_sample", "diffusion_train_terms", "mse_elementwise",
     "loss_reduce", "predict_prev_mean_from_eps", "p_mean_variance",
     "p_sample_step", "predict_x0_from_eps", "cfg_combine", "make_cfg_eps_fn",
-    "sample", "ddim_sample", "dpm_solver_sample", "denoise_segment",
-    "renoise", "sample_with_snapshots",
+    "sample", "ddim_sample", "dpm_solver_sample", "parallel_picard_sample",
+    "denoise_segment", "renoise", "sample_with_snapshots",
 ]

@@ -229,6 +229,90 @@ def dpm_solver_sample(sched: DiffusionSchedule, eps_fn: EpsFn,
     return jnp.clip(x, -1.0, 1.0) if clip_output else x
 
 
+def parallel_picard_sample(sched: DiffusionSchedule, eps_fn: EpsFn,
+                           x_T: jnp.ndarray, key: jax.Array, *,
+                           num_steps: int = 50,
+                           max_iters: int | None = None,
+                           tol: float = 1e-3,
+                           clip_output: bool = True,
+                           sharding=None
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Parallel-in-time sampling by Picard iteration (ParaDiGMS, Shih et
+    al. 2023, arXiv 2305.16317) over the deterministic DDIM grid — a
+    TPU-first trade: spend spare MXU batch capacity to cut *sequential*
+    denoising latency.
+
+    The sequential recurrence ``x_{j+1} = c_j x_j + d_j eps(x_j, t_j)`` is
+    rewritten in integral form ``x_j = x_T + sum_{i<j} g_i(x_i)`` and
+    iterated jointly: every Picard sweep evaluates the model at ALL grid
+    points in ONE batched call (the time grid folds into the batch axis,
+    exactly like search candidates), then a cumulative sum refreshes the
+    whole trajectory. After k sweeps the first k points are exact, so
+    ``max_iters = num_steps`` reproduces sequential DDIM bit-for-bit (mod
+    float reassociation); in practice the iteration converges in far fewer
+    sweeps, and wall-clock wins whenever the chip is latency-bound rather
+    than FLOPs-bound at batch B. The folded ``num_steps*B`` axis is also
+    the natural mesh-sharding axis — multi-chip parallel-in-time.
+
+    Returns ``(x_0, n_sweeps_used)``. ``key`` is unused (deterministic
+    eta=0 grid), kept for signature uniformity.
+    """
+    import numpy as np
+
+    T = sched.T
+    n = num_steps
+    assert 2 <= n <= T
+    if max_iters is None:
+        max_iters = n
+    ab = np.asarray(sched.alphas_bar, dtype=np.float64)
+    ts = np.linspace(T - 1, 0, n).round().astype(np.int32)
+    a = np.concatenate([np.sqrt(ab[ts]), [1.0]])        # states 0..n
+    s = np.concatenate([np.sqrt(1.0 - ab[ts]), [0.0]])
+    c = a[1:] / a[:-1]                                  # [n]
+    d = s[1:] - a[1:] * s[:-1] / a[:-1]
+
+    B = x_T.shape[0]
+    t_fold = jnp.repeat(jnp.asarray(ts, jnp.int32), B)  # [n*B]
+    cm1 = jnp.asarray(c - 1.0, jnp.float32).reshape(n, 1, 1, 1, 1)
+    dd = jnp.asarray(d, jnp.float32).reshape(n, 1, 1, 1, 1)
+
+    def sweep(X):
+        Xf = X.reshape((n * B,) + x_T.shape[1:])
+        if sharding is not None:
+            # shard the folded time-grid axis over the mesh: each sweep's
+            # model eval splits across chips, dividing sequential latency
+            # by the device count (the same axis-folding trick as search
+            # candidates)
+            Xf = jax.lax.with_sharding_constraint(Xf, sharding)
+        eps = eps_fn(Xf, t_fold)
+        eps = eps.reshape(X.shape)
+        g = cm1 * X + dd * eps                          # [n, B, ...]
+        cums = jnp.cumsum(g, axis=0)
+        # X[0] stays x_T; X[j] = x_T + sum_{i<j} g_i ; final = x_T + sum g
+        X_new = jnp.concatenate(
+            [X[:1], x_T[None] + cums[:-1]], axis=0)
+        final = x_T + cums[-1]
+        return X_new, final
+
+    X0 = jnp.broadcast_to(x_T[None], (n,) + x_T.shape)
+
+    def cond(carry):
+        _, _, delta, it = carry
+        return jnp.logical_and(it < max_iters, delta > tol)
+
+    def body(carry):
+        X, _, _, it = carry
+        X_new, final = sweep(X)
+        delta = jnp.abs(X_new - X).mean(axis=tuple(range(1, X.ndim))).max()
+        return X_new, final, delta, it + 1
+
+    _, final, _, iters = lax.while_loop(
+        cond, body, (X0, x_T, jnp.asarray(jnp.inf, jnp.float32),
+                     jnp.asarray(0, jnp.int32)))
+    out = jnp.clip(final, -1.0, 1.0) if clip_output else final
+    return out, iters
+
+
 def sample_with_snapshots(
     sched: DiffusionSchedule, eps_fn: EpsFn, x_T: jnp.ndarray, key: jax.Array,
     interval: int, *, clip_output: bool = True,

@@ -47,8 +47,8 @@ class DiffusionCfg:
     beta_1: float = 1e-4
     beta_T: float = 0.02
     w: float = 0.0                      # CFG guidance weight
-    sampler: str = "ddpm"               # "ddpm" (ancestral) | "ddim" | "dpm"
-    ddim_steps: int = 50                # step budget for ddim AND dpm
+    sampler: str = "ddpm"       # "ddpm" (ancestral) | "ddim" | "dpm" | "picard"
+    ddim_steps: int = 50        # step/grid budget for ddim, dpm, picard
     ddim_eta: float = 0.0
 
 
