@@ -159,3 +159,70 @@ def test_threaded_prefetch_order_sharding_and_errors():
     next(it)
     with pytest.raises(RuntimeError, match="producer boom"):
         next(it)
+
+
+def test_load_cifar10_from_synthesized_batches(tmp_path):
+    """load_cifar10 reads the standard cifar-10-batches-py pickle layout
+    (and extracts the .tar.gz form) — synthesized here since no real
+    CIFAR-10 exists on this machine."""
+    import pickle
+    import tarfile
+    from itsd_tpu.data import load_cifar10
+
+    base = tmp_path / "cifar-10-batches-py"
+    base.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(1, 6):
+        d = {b"data": rng.integers(0, 256, (20, 3072), dtype=np.uint8),
+             b"labels": rng.integers(0, 10, 20).tolist()}
+        with open(base / f"data_batch_{i}", "wb") as f:
+            pickle.dump(d, f)
+    d = {b"data": rng.integers(0, 256, (10, 3072), dtype=np.uint8),
+         b"labels": rng.integers(0, 10, 10).tolist()}
+    with open(base / "test_batch", "wb") as f:
+        pickle.dump(d, f)
+
+    x, y = load_cifar10(str(tmp_path), train=True)
+    assert x.shape == (100, 32, 32, 3) and y.shape == (100,)
+    assert -1.0 <= x.min() and x.max() <= 1.0
+    assert y.dtype == np.int32 and set(np.unique(y)) <= set(range(10))
+    xt, yt = load_cifar10(str(tmp_path), train=False)
+    assert xt.shape == (10, 32, 32, 3)
+
+    x2, _ = load_cifar10(str(tmp_path), train=True, subset_ratio=0.5)
+    assert x2.shape[0] == 50
+
+    # tar.gz form: pack the dir, move it away, reload from the archive
+    tgz_root = tmp_path / "tgz"
+    tgz_root.mkdir()
+    with tarfile.open(tgz_root / "cifar-10-python.tar.gz", "w:gz") as tf:
+        tf.add(base, arcname="cifar-10-batches-py")
+    x3, _ = load_cifar10(str(tgz_root), train=True)
+    assert x3.shape == (100, 32, 32, 3)
+
+    with pytest.raises(FileNotFoundError):
+        load_cifar10(str(tmp_path / "nope"))
+
+
+def test_load_image_folder(tmp_path):
+    """Class-per-subdirectory tree -> arrays with resize + center crop
+    (mirrors the reference's ImageFolder transforms, Train.py:452-467)."""
+    from PIL import Image
+    from itsd_tpu.data import load_image_folder
+
+    rng = np.random.default_rng(0)
+    for ci, cls in enumerate(["cat", "dog"]):
+        d = tmp_path / cls
+        d.mkdir()
+        for j, size in enumerate([(40, 24), (16, 16), (31, 57)]):
+            arr = rng.integers(0, 256, size + (3,), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img{j}.png")
+        (d / "notes.txt").write_text("ignored non-image file")
+
+    x, y = load_image_folder(str(tmp_path), img_size=16)
+    assert x.shape == (6, 16, 16, 3)
+    assert list(np.bincount(y)) == [3, 3]
+    assert -1.0 <= x.min() and x.max() <= 1.0
+
+    x2, y2 = load_image_folder(str(tmp_path), img_size=16, max_images=2)
+    assert x2.shape[0] == 2
