@@ -38,6 +38,12 @@ def main():
                          "runtime; one 64xT=3000 launch trips the TPU "
                          "worker watchdog)")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--sampler", default="ddpm",
+                    choices=["ddpm", "ddim", "dpm"],
+                    help="candidate denoiser; dpm-N turns the T=3000 "
+                         "chain into N solver steps (see docs/RESULTS.md "
+                         "Axis 3 for why that wins at fixed budget)")
+    ap.add_argument("--solver-steps", type=int, default=20)
     ap.add_argument("--out", default=os.path.join(
         REPO, "docs", "results", "workload5_imagenet64.json"))
     args = ap.parse_args()
@@ -54,6 +60,8 @@ def main():
             f"search.candidate_chunk={args.chunk}",
             f"inference_T={args.t}",
             f"train.eval_batch_size={args.per_candidate_batch}",
+            f"diffusion.sampler={args.sampler}",
+            f"diffusion.ddim_steps={args.solver_steps}",
         ])
 
     def note(m):
@@ -91,7 +99,8 @@ def main():
     bs = cfg.train.eval_batch_size
     labels = (jnp.arange(bs) % cfg.model.num_labels) + 1
     eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
-    denoise_fn = lambda noise, k: sample(sched, eps_fn, noise, k)
+    from itsd_tpu.cli.runner import run_sampler
+    denoise_fn = lambda noise, k: run_sampler(cfg, sched, eps_fn, noise, k)
     shape = (bs, cfg.data.img_size, cfg.data.img_size, 3)
     verifier = self_supervised_verifier()
 
@@ -113,12 +122,19 @@ def main():
         note(f"steady rep {i} ({n_chunks} chunks x {args.chunk}): "
              f"{times[-1]:.1f}s" + (" (incl compile)" if i == 0 else ""))
     best = min(times[1:]) if len(times) > 1 else times[0]
-    nfe_model_evals = args.candidates * args.t * 2  # CFG: 2 evals/step
+    evals_per_cand = (args.t if args.sampler == "ddpm"
+                      else min(args.solver_steps, args.t))
+    nfe_model_evals = args.candidates * evals_per_cand * 2  # CFG: 2/step
     imgs = args.candidates * args.per_candidate_batch
+    if args.sampler != "ddpm" and args.out.endswith(".json"):
+        args.out = args.out.replace(
+            ".json", f"_{args.sampler}{args.solver_steps}.json")
     report = {
         "workload": "BASELINE.md #5: ImageNet-64 cond DDPM, extended "
                     f"T={args.t}, best-of-{args.candidates} random search, "
                     f"CFG w={cfg.diffusion.w}",
+        "sampler": args.sampler,
+        "evals_per_candidate": evals_per_cand * 2,
         "device": str(jax.devices()[0]),
         "n_devices": len(jax.devices()),
         "product_path_wall_s_incl_compile": first,
