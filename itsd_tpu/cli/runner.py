@@ -683,9 +683,14 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
             s.n_paths * (len(steps) + 1))
     elif s.algorithm == "gradient":
         init = jax.random.normal(jax.random.fold_in(key, 0), shape)
+        # diffusion.sampler=dpm: differentiate through the solver chain
+        # (ddim_steps evals/iter) instead of the remat'd T-step chain
+        solver_steps = (min(cfg.diffusion.ddim_steps, sched.T)
+                        if cfg.diffusion.sampler == "dpm" else None)
         res = gradient_search(key, init, sched, eps_fn, verifier_fn,
                               n_iterations=s.n_iterations, lr=s.gradient_lr,
-                              return_images=True)
+                              return_images=True,
+                              solver_steps=solver_steps)
     else:
         raise ValueError(f"unknown search algorithm: {s.algorithm!r}")
 

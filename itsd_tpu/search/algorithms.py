@@ -268,17 +268,28 @@ def gradient_search(
     n_iterations: int = 20,
     lr: float = 0.01,
     return_images: bool = False,
+    solver_steps: int | None = None,
 ) -> SearchResult:
     """Adam on the noise tensor against a differentiable verifier (C12b).
 
-    The sampler runs with per-step rematerialisation (`jax.checkpoint`), so
-    backprop through all T steps costs O(1) activations + recompute instead
-    of the reference's O(T) graph (`search_algorithm.py:396-421`).
+    By default the sampler runs with per-step rematerialisation
+    (`jax.checkpoint`), so backprop through all T steps costs O(1)
+    activations + recompute instead of the reference's O(T) graph
+    (`search_algorithm.py:396-421`). With ``solver_steps`` set, the
+    gradient flows through the deterministic DPM-Solver++(2M) chain
+    instead — ``solver_steps`` evals per iteration rather than T, which is
+    both cheaper and better-conditioned (no stochastic renoise inside the
+    differentiated graph).
     """
     opt = optax.adam(lr)
 
     def score_of(noise, k):
-        images = sample(sched, eps_fn, noise, k, remat=True)
+        if solver_steps is not None:
+            from ..core.sampling import dpm_solver_sample
+            images = dpm_solver_sample(sched, eps_fn, noise, k,
+                                       num_steps=solver_steps)
+        else:
+            images = sample(sched, eps_fn, noise, k, remat=True)
         return verifier_fn(images)
 
     grad_fn = jax.value_and_grad(lambda n, k: -score_of(n, k))
@@ -306,8 +317,14 @@ def gradient_search(
 
     result_images = None
     if return_images:
-        result_images = sample(sched, eps_fn, best_noise,
-                               jax.random.fold_in(key, -1))
+        if solver_steps is not None:
+            from ..core.sampling import dpm_solver_sample
+            result_images = dpm_solver_sample(
+                sched, eps_fn, best_noise, jax.random.fold_in(key, n_iterations),
+                num_steps=solver_steps)
+        else:
+            result_images = sample(sched, eps_fn, best_noise,
+                                   jax.random.fold_in(key, n_iterations))
     return SearchResult(
         best_noise=best_noise,
         best_score=jnp.asarray(best_score),

@@ -108,6 +108,19 @@ def test_gradient_search_improves_score(key):
     assert np.asarray(res.history["grad_norms"]).min() > 0
 
 
+def test_gradient_search_through_dpm_solver(key):
+    """solver_steps: the gradient flows through the deterministic
+    DPM-Solver++ chain (solver_steps evals/iter instead of T) and still
+    ascends the verifier."""
+    init = jax.random.normal(jax.random.PRNGKey(7), SHAPE)
+    res = gradient_search(key, init, SCHED, _zero_eps, _target_verifier,
+                          n_iterations=10, lr=0.1, solver_steps=5,
+                          return_images=True)
+    scores = np.asarray(res.history["scores"])
+    assert scores[-1] > scores[0]
+    assert res.best_images.shape == SHAPE
+
+
 # ---------------------------------------------------------------------------
 # Verifiers
 
