@@ -160,7 +160,7 @@ def main():
 
     chunk = 8 if a.quick else 64      # candidates per device launch
     pools = {}                        # name -> (cost, scores[pool])
-    for name, (cost, pool_n, denoise) in samplers.items():
+    for si, (name, (cost, pool_n, denoise)) in enumerate(samplers.items()):
         t0 = time.time()
 
         @jax.jit
@@ -175,8 +175,10 @@ def main():
 
         sc, ft = [], []
         for ci in range(pool_n // chunk):
+            # stable per-(sampler, chunk) key — hash(name) is salted per
+            # process and would make the committed results irreproducible
             s, f = gen_chunk(jax.random.fold_in(jax.random.PRNGKey(7 + ci),
-                                                hash(name) % 1000))
+                                                si))
             sc.append(np.asarray(s))
             ft.append(np.asarray(f))
         scores = np.concatenate(sc)

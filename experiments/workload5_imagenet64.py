@@ -104,12 +104,14 @@ def main():
     shape = (bs, cfg.data.img_size, cfg.data.img_size, 3)
     verifier = self_supervised_verifier()
 
-    n_chunks = max(1, args.candidates // args.chunk)
+    chunk = min(args.chunk, args.candidates)
+    assert args.candidates % chunk == 0, (args.candidates, chunk)
+    n_chunks = args.candidates // chunk
 
     @jax.jit
     def program(k):
         r = random_search(k, shape, denoise_fn, verifier,
-                          n_candidates=args.chunk, return_images=False)
+                          n_candidates=chunk, return_images=False)
         return r.best_noise, r.best_score
 
     times = []
@@ -119,7 +121,7 @@ def main():
             out = program(jax.random.PRNGKey(100 + i * n_chunks + ci))
             jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-        note(f"steady rep {i} ({n_chunks} chunks x {args.chunk}): "
+        note(f"steady rep {i} ({n_chunks} chunks x {chunk}): "
              f"{times[-1]:.1f}s" + (" (incl compile)" if i == 0 else ""))
     best = min(times[1:]) if len(times) > 1 else times[0]
     evals_per_cand = (args.t if args.sampler == "ddpm"

@@ -148,7 +148,10 @@ def run_sampler(cfg: Config, sched, eps_fn, x_T, key):
             sched, eps_fn, x_T, key,
             num_steps=min(cfg.diffusion.ddim_steps, sched.T))
         return imgs
-    assert cfg.diffusion.sampler == "ddpm", cfg.diffusion.sampler
+    if cfg.diffusion.sampler != "ddpm":
+        raise ValueError(
+            f"unknown diffusion.sampler {cfg.diffusion.sampler!r}; "
+            "expected ddpm | ddim | dpm | picard")
     return sample(sched, eps_fn, x_T, key)
 
 
@@ -605,9 +608,12 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
         eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
     else:
         eps_fn = make_eps_fn(model, params, False)
-    # Respect diffusion.sampler: searching over cheap second-order
-    # candidates (sampler=dpm ddim_steps=20) dominates ancestral candidates
-    # at every fixed NFE budget (docs/RESULTS.md "Axis 3").
+    # Random and zero-order search denoise candidates with the configured
+    # diffusion.sampler (searching over cheap second-order candidates
+    # dominates ancestral ones at every fixed NFE budget, RESULTS.md
+    # "Axis 3"). Path search always forks the ancestral chain (its
+    # injection points are defined on it); gradient search differentiates
+    # through the DPM chain only when sampler=dpm (see its branch below).
     denoise_fn = lambda noise, k: run_sampler(cfg, sched, eps_fn, noise, k)
 
     if verifier_fn is None:
@@ -641,7 +647,10 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
             bn, bsc, bi, sc = _run(jax.random.fold_in(key, ci))
             bsc = float(bsc)
             all_scores.append(np.asarray(sc))
-            if best is None or bsc > best[1]:
+            # NaN-aware: a NaN chunk (e.g. bf16 overflow on some
+            # candidates) must not beat a later finite one
+            if (best is None or np.isnan(best[1])
+                    or bsc > best[1]):
                 best = (bn, bsc, bi)
         res = SearchResult(best[0], best[1], best[2],
                            {"scores": np.concatenate(all_scores)},

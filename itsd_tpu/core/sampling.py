@@ -192,8 +192,27 @@ def dpm_solver_sample(sched: DiffusionSchedule, eps_fn: EpsFn,
     # uniform-lambda restores the O(h^2) global convergence.
     lam_all = 0.5 * (np.log(ab) - np.log1p(-ab))
     lam_grid = np.linspace(lam_all[T - 1], lam_all[0], num_steps)
-    ts = np.asarray([np.abs(lam_all - l).argmin() for l in lam_grid])
-    ts = np.unique(ts)[::-1].astype(np.int32)   # decreasing t, deduped
+    # Snap to discrete timesteps, then enforce strict decrease so the grid
+    # has EXACTLY num_steps points — coarse schedules can snap two lambda
+    # targets to the same t, and silently dropping a step would falsify
+    # every caller's NFE accounting.
+    snapped = [int(np.abs(lam_all - l).argmin()) for l in lam_grid]
+    ts = []
+    prev = T
+    for t in snapped:
+        t = min(t, prev - 1)
+        ts.append(t)
+        prev = t
+    if ts[-1] < 0:
+        # duplicates piled up near the clean end; repair upward from it
+        # (a valid strictly-decreasing assignment exists since
+        # num_steps <= T)
+        nxt = -1
+        for i in range(num_steps - 1, -1, -1):
+            ts[i] = max(ts[i], nxt + 1)
+            nxt = ts[i]
+    assert ts[-1] >= 0 and ts[0] <= T - 1 and len(ts) == num_steps, ts
+    ts = np.asarray(ts, dtype=np.int32)
     alph = np.sqrt(ab[ts])
     sig = np.sqrt(1.0 - ab[ts])
     lam = np.log(alph / sig)          # log-SNR/2, strictly increasing

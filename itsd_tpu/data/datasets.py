@@ -152,6 +152,17 @@ def load_image_folder(root: str, img_size: int = 256,
     return imgs, labels
 
 
+def _put_batch(batch, sharding):
+    """device_put every value of a batch dict (sharded when given) —
+    shared by both prefetch variants so the transfer policy cannot
+    diverge between them."""
+    import jax
+
+    if sharding is not None:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return {k: jax.device_put(v) for k, v in batch.items()}
+
+
 def prefetch_to_device(iterator, size: int = 2, sharding=None):
     """Wrap a host batch iterator with device prefetch: the next `size`
     batches are already transferred (and sharded) while the current step
@@ -159,16 +170,10 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     workers hide disk latency (`Train.py:512-514`), but for the PCIe leg."""
     import collections
 
-    import jax
-
     queue = collections.deque()
 
     def put(batch):
-        if sharding is not None:
-            batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
-        else:
-            batch = {k: jax.device_put(v) for k, v in batch.items()}
-        queue.append(batch)
+        queue.append(_put_batch(batch, sharding))
 
     it = iter(iterator)
     try:
@@ -192,39 +197,56 @@ def threaded_prefetch(iterator, size: int = 2, sharding=None):
     processes (`Train.py:512-514`). `jax.device_put` is thread-safe and
     async, so the HBM transfer itself also overlaps device compute.
 
-    Exceptions in the producer propagate to the consumer; the thread is a
-    daemon and dies with the process if the consumer stops early.
+    Exceptions in the producer propagate to the consumer. If the consumer
+    stops iterating early (break / exception / GC of the generator), the
+    generator's finally block signals the producer to stop and drains the
+    queue, so no thread is left blocked on a full queue pinning
+    device-resident batches.
     """
     import queue as queue_mod
     import threading
 
-    import jax
-
     q = queue_mod.Queue(maxsize=max(1, size))
     _END = object()
+    stop = threading.Event()
+
+    def put_guarded(item):
+        """Blocking put that aborts when the consumer signalled stop —
+        never leaves the thread parked on a full queue."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def produce():
         try:
             for batch in iterator:
-                if sharding is not None:
-                    batch = {k: jax.device_put(v, sharding)
-                             for k, v in batch.items()}
-                else:
-                    batch = {k: jax.device_put(v) for k, v in batch.items()}
-                q.put(batch)
-            q.put(_END)
+                if not put_guarded(_put_batch(batch, sharding)):
+                    return
+            put_guarded(_END)
         except BaseException as e:  # noqa: BLE001 — propagate to consumer
-            q.put(e)
+            put_guarded(e)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue_mod.Empty:
+            pass
 
 
 def synthetic_dataset(n: int = 256, img_size: int = 32, num_labels: int = 10,

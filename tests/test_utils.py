@@ -226,3 +226,25 @@ def test_load_image_folder(tmp_path):
 
     x2, y2 = load_image_folder(str(tmp_path), img_size=16, max_images=2)
     assert x2.shape[0] == 2
+
+
+def test_threaded_prefetch_early_exit_stops_producer():
+    """Abandoning the consumer mid-iteration (break) must release the
+    producer thread — no thread left parked on a full queue pinning
+    device-resident batches."""
+    import gc
+    import threading
+    import time
+    from itsd_tpu.data.datasets import threaded_prefetch
+
+    batches = ({"image": np.zeros((4, 4, 4, 3), np.float32)}
+               for _ in range(100))
+    before = threading.active_count()
+    it = threaded_prefetch(batches, size=2)
+    next(it)
+    it.close()          # what GC does to an abandoned generator
+    gc.collect()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
