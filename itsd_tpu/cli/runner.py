@@ -202,7 +202,11 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
 
     it = BatchIterator(images, labels if conditional else None,
                        cfg.train.batch_size, seed=cfg.data.seed)
-    steps_per_epoch = max(len(it), 1)
+    if len(it) == 0:
+        raise ValueError(
+            f"train.batch_size={cfg.train.batch_size} exceeds the dataset "
+            f"({len(images)} images) — no full batch can be formed")
+    steps_per_epoch = len(it)
 
     params = init_params(cfg, model, conditional)
     if cfg.train.training_load_weight:
@@ -307,8 +311,15 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
             np.savez(os.path.join(rep_dir, f"epoch_{epoch}.npz"),
                      representations=np.concatenate(epoch_reprs),
                      labels=np.concatenate(epoch_repr_labels))
+        # one sync per epoch: also materialise this epoch's device loss
+        # scalars to host floats so HBM buffers don't accumulate across a
+        # long run
+        n_new = sum(1 for x in losses if not isinstance(x, float))
+        if n_new:
+            losses[-n_new:] = [float(v) for v in
+                               jax.device_get(losses[-n_new:])]
         logger.log({"epoch": epoch, "step": step,
-                    "loss": float(epoch_loss),  # one sync per epoch
+                    "loss": losses[-1] if losses else float("nan"),
                     "elapsed_s": time.time() - t0})
         if (epoch + 1) % cfg.train.model_save_freq == 0 or \
                 epoch == cfg.train.epoch - 1:
@@ -685,11 +696,12 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
             return (r.best_noise, r.best_score, r.best_images,
                     r.history["scores"], r.history["final_scores"])
         bn, bs, bi, sc, fsc = _run(key)
+        from ..search.algorithms import path_search_nfes
         res = SearchResult(
             bn, bs, bi,
             {"scores": sc, "final_scores": fsc,
              "injection_points": list(steps)},
-            s.n_paths * (len(steps) + 1))
+            path_search_nfes(sched.T, s.n_paths, steps, s.delta_f))
     elif s.algorithm == "gradient":
         init = jax.random.normal(jax.random.fold_in(key, 0), shape)
         # diffusion.sampler=dpm: differentiate through the solver chain
@@ -748,7 +760,9 @@ def finetune_extended_T(cfg: Config, max_steps: Optional[int] = None) -> dict:
     state = create_train_state(params, tx, ema=False)
     step_fn = make_train_step(
         lambda p, *a, **kw: model.apply(p, *a, **kw), sched, tx,
-        conditional=conditional, ema_decay=None)
+        conditional=conditional, ema_decay=None,
+        loss_reduction=cfg.train.loss_reduction,
+        label_dropout=cfg.train.label_dropout)
 
     key = jax.random.PRNGKey(cfg.seed)
     losses = []

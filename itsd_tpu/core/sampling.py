@@ -57,6 +57,11 @@ def _scan_steps(sched: DiffusionSchedule, eps_fn: EpsFn, x: jnp.ndarray,
 
     n = t_hi - t_lo
     u = unroll if n % unroll == 0 else 1
+    if u != unroll:
+        import warnings
+        warnings.warn(
+            f"sampler unroll={unroll} does not divide segment length {n}; "
+            "falling back to unroll=1", stacklevel=2)
     (x, key), _ = lax.scan(step, (x, key), ts, unroll=u)
     return x, key
 

@@ -47,6 +47,13 @@ DenoiseFn = Callable[[jnp.ndarray, jax.Array], jnp.ndarray]
 VerifierFn = Callable[[jnp.ndarray], jnp.ndarray]
 
 
+def _nan_to_neg_inf(scores: jnp.ndarray) -> jnp.ndarray:
+    """NaN-safe selection: jnp.argmax / lax.top_k treat NaN as the maximum,
+    so one NaN-scoring candidate (e.g. bf16 overflow) would beat every
+    finite one. Mask NaN to -inf before any selection."""
+    return jnp.where(jnp.isnan(scores), -jnp.inf, scores)
+
+
 @dataclasses.dataclass
 class SearchResult:
     best_noise: jnp.ndarray
@@ -91,7 +98,7 @@ def random_search(
     noises = jax.random.normal(knoise, (n_candidates,) + tuple(noise_shape))
     images = _denoise_candidates(denoise_fn, noises, kden, sharding)
     scores = jax.vmap(verifier_fn)(images)
-    best = jnp.argmax(scores)
+    best = jnp.argmax(_nan_to_neg_inf(scores))
     return SearchResult(
         best_noise=noises[best],
         best_score=scores[best],
@@ -144,7 +151,7 @@ def zero_order_search(
                                       neighbor_mode)
         images = _denoise_candidates(denoise_fn, neighbors, dk, sharding)
         scores = jax.vmap(verifier_fn)(images)
-        i = jnp.argmax(scores)
+        i = jnp.argmax(_nan_to_neg_inf(scores))
         it_best_score = scores[i]
         it_best = neighbors[i]
         improved = it_best_score > best_score
@@ -170,6 +177,23 @@ def zero_order_search(
                  "candidates_per_iter": n_neighbors},
         nfes=n_iterations * n_neighbors + (1 if return_images else 0),
     )
+
+
+def path_search_nfes(T: int, n_paths: int,
+                     injection_steps: Sequence[int],
+                     delta_f: int) -> int:
+    """Static NFE accounting for `path_search` (full-denoise equivalents),
+    mirroring its in-trace accumulation — callers that jit the search and
+    return only arrays use this instead of re-deriving (and overstating)
+    the cost."""
+    steps = sorted(set(int(s) for s in injection_steps), reverse=True)
+    t_prev, nfes = T, 0.0
+    for t_inj in steps:
+        nfes += n_paths * (t_prev - t_inj) / T   # denoise to injection
+        nfes += n_paths / T                      # x0-hat scoring eval
+        t_prev = min(t_inj + delta_f, T)
+    nfes += n_paths * t_prev / T                 # final descent
+    return int(round(nfes))
 
 
 def path_search(
@@ -234,7 +258,7 @@ def path_search(
         score_log.append(scores)
         nfes += n_paths / sched.T
         # Keep top n_active paths; expand each into `expand` renoised copies.
-        _, top_idx = lax.top_k(scores, n_active)
+        _, top_idx = lax.top_k(_nan_to_neg_inf(scores), n_active)
         survivors = per_path(x)[top_idx]                  # [n_active, B, ...]
         tiled = jnp.repeat(survivors, expand, axis=0)     # [n_paths, B, ...]
         t_prev = min(t_inj + delta_f, sched.T)
@@ -247,7 +271,7 @@ def path_search(
     nfes += n_paths * t_prev / sched.T
     finals = per_path(x)
     final_scores = jax.vmap(verifier_fn)(finals)
-    best = jnp.argmax(final_scores)
+    best = jnp.argmax(_nan_to_neg_inf(final_scores))
     return SearchResult(
         best_noise=finals[best],  # final sample of the winning path
         best_score=final_scores[best],

@@ -66,7 +66,10 @@ class Trainer:
                 cfg.diffusion.w)
         else:
             eps_fn = self._runner.make_eps_fn(self.model, self.params, False)
-        return np.asarray(core_sample(sched, eps_fn, x_T, ks))
+        # dispatch through run_sampler so cfg.diffusion.sampler
+        # (ddpm/ddim/dpm/picard) is honoured, same as the CLI paths
+        return np.asarray(
+            self._runner.run_sampler(cfg, sched, eps_fn, x_T, ks))
 
     def search(self, verifier_fn=None) -> dict:
         return self._runner.run_search(self.cfg, params=self.params,
@@ -85,4 +88,18 @@ class Trainer:
 
     def load(self, name: str) -> None:
         path = os.path.join(self.cfg.save_weight_dir, name)
-        self.state = restore_checkpoint(path)
+        try:
+            self.state = restore_checkpoint(path)
+        except Exception:
+            # weights-only checkpoint (e.g. save_params output from
+            # finetune-t) — wrap in a params-only state, mirroring
+            # runner.load_eval_params
+            from ..cli.runner import init_params
+            from .checkpoint import restore_params
+            from .loop import TrainState
+
+            params = restore_params(path, template=init_params(
+                self.cfg, self.model, self.conditional))
+            self.state = TrainState(step=jnp.zeros((), jnp.int32),
+                                    params=params, opt_state=None,
+                                    ema_params=None)
