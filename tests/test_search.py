@@ -205,3 +205,24 @@ def test_oracle_verifier_fid_mode(key):
     s_near = float(v(imgs))
     s_far = float(v(imgs + 10.0))
     assert s_near > s_far  # -FID: closer distribution scores higher
+
+
+def test_selection_is_nan_safe(key):
+    """A NaN-scoring candidate (bf16 overflow in the wild) must never win
+    selection: jnp.argmax/lax.top_k treat NaN as the maximum without the
+    -inf mask."""
+    calls = {"n": 0}
+
+    def nanny_verifier(imgs):
+        # candidates are vmapped; poison by content: candidate whose mean
+        # is largest scores NaN, everyone else gets a finite score
+        m = imgs.mean()
+        return jnp.where(m > 0.5, jnp.nan, -jnp.abs(m))
+
+    # candidate i denoises to an image full of i/10 -> candidate 9 is NaN
+    denoise = lambda noise, k: (jnp.arange(noise.shape[0], dtype=jnp.float32)
+                                .reshape(-1, 1, 1, 1) / 10.0
+                                * jnp.ones_like(noise))
+    res = random_search(key, (1, 4, 4, 3), denoise, nanny_verifier,
+                        n_candidates=10)
+    assert np.isfinite(float(res.best_score))
