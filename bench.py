@@ -28,10 +28,35 @@ T = int(os.environ.get("BENCH_T", "1000"))
 IMG = 32
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+ARTIFACTS = os.path.join(REPO, "artifacts")
+
+
+def load_artifact_params(name):
+    """Committed trained weights (bf16-cast, see artifacts/README.md);
+    returns an f32 params pytree or None when absent."""
+    path = os.path.join(ARTIFACTS, name)
+    if not os.path.isdir(path):
+        return None
+    import jax
+    import jax.numpy as jnp
+    from itsd_tpu.train.checkpoint import restore_params
+    params = restore_params(path)
+    return jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.float32)
+        if getattr(a, "dtype", None) == jnp.bfloat16 else jnp.asarray(a),
+        params)
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _enable_cache():
+    sys.path.insert(0, REPO)
+    from itsd_tpu.utils import enable_compilation_cache
+    d = enable_compilation_cache()
+    if d:
+        log(f"[bench] persistent compilation cache: {d}")
 
 
 def measure_ours() -> dict:
@@ -177,56 +202,36 @@ def measure_cfg() -> dict:
 def measure_ensemble_search() -> dict:
     """Zero-order + path search with the FID/IS ensemble verifier
     (BASELINE.md workload 4): verifier = -FID(features vs real stats) +
-    IS, all on-device inside the jitted search (random-weight Inception —
-    documented proxy; ordering-discriminative, which is what search needs)."""
+    10*IS, all on-device inside the jitted search. Runs on the trained
+    artifact model at full T with real shapes-dataset stats when the
+    artifacts exist (random-weight Inception remains the documented proxy
+    for feature extraction in zero-egress environments)."""
     import jax
     import jax.numpy as jnp
     from itsd_tpu.core import linear_schedule, sample
-    from itsd_tpu.metrics import gaussian_stats
-    from itsd_tpu.metrics.frechet import frechet_distance_jax
     from itsd_tpu.metrics.inception import (init_random_params, inception_v3,
                                             preprocess)
-    from itsd_tpu.metrics.is_score import is_score_jax
-    from itsd_tpu.models import UNet, uncond_unet_config
-    from itsd_tpu.search import path_search, zero_order_search
+    from itsd_tpu.search import (ensemble_fid_is_verifier, path_search,
+                                 zero_order_search)
 
-    t_search = int(os.environ.get("BENCH_SEARCH_T", "100"))
+    t_search = int(os.environ.get("BENCH_SEARCH_T", str(T)))
     b = 4
-    cfg = uncond_unet_config(ch=128, ch_mult=(1, 2, 2, 2), attn=(1,),
-                             num_res_blocks=2, dropout=0.1, dtype="bfloat16")
-    model = UNet(cfg)
     sched = linear_schedule(1e-4, 0.02, t_search)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((b, IMG, IMG, 3)),
-                        jnp.zeros((b,), jnp.int32))
-    eps_fn = lambda xx, tt: model.apply(params, xx, tt)
+    eps_fn, weights = _search_model()
     denoise = lambda n, k: sample(sched, eps_fn, n, k)
 
     inc = init_random_params(jax.random.PRNGKey(42))
-    # Fréchet on a 256-d random projection of the 2048-d features: a
-    # 2048x2048 eigh inside the vmapped search scan would dominate the
-    # run; the projection preserves candidate ordering (Johnson-
-    # Lindenstrauss), which is all a verifier needs.
-    d = 256
-    proj = jax.random.normal(jax.random.PRNGKey(7), (2048, d)) / (2048 ** 0.5)
-    # "real" stats from smooth synthetic blobs (no dataset on this machine)
-    from itsd_tpu.data import synthetic_dataset
-    real, _ = synthetic_dataset(n=64, img_size=IMG)
-    real_feats, _ = inception_v3(inc, preprocess(
-        jnp.asarray((real + 1.0) / 2.0)))
-    real_feats = real_feats @ proj
-    mu_r = real_feats.mean(0)
-    cov_r = jnp.cov(real_feats, rowvar=False) + 1e-4 * jnp.eye(d)
-
-    def verifier(images):  # images [B,H,W,C] in [-1,1]
-        unit = (images + 1.0) / 2.0
-        feats, logits = inception_v3(inc, preprocess(unit))
-        feats = feats @ proj
-        mu_f = feats.mean(0)
-        cov_f = (jnp.cov(feats, rowvar=False) + 1e-4 * jnp.eye(d))
-        fid = frechet_distance_jax(mu_r, cov_r, mu_f, cov_f)
-        is_v = is_score_jax(jax.nn.softmax(logits, axis=-1))
-        return -fid + 10.0 * is_v
+    run_fn = lambda unit: inception_v3(inc, preprocess(unit))
+    # real stats anchored on the dataset the artifact model was trained on
+    from itsd_tpu.data import shapes_dataset, synthetic_dataset
+    if "trained" in weights:
+        real, _ = shapes_dataset(n=64, img_size=IMG, num_labels=10, seed=0)
+        stats_src = "shapes dataset (the training distribution)"
+    else:
+        real, _ = synthetic_dataset(n=64, img_size=IMG)
+        stats_src = "synthetic blobs"
+    real_feats, _ = run_fn(jnp.asarray((real + 1.0) / 2.0))
+    verifier = ensemble_fid_is_verifier(run_fn, real_feats, is_weight=10.0)
 
     out = {}
     k = jax.random.PRNGKey(3)
@@ -256,7 +261,9 @@ def measure_ensemble_search() -> dict:
     out["path"] = {"wall_seconds": round(time.perf_counter() - t0, 3),
                    "best_score": s}
     out["T"] = t_search
-    out["verifier"] = "ensemble(-FID + 10*IS), on-device inception"
+    out["weights"] = weights
+    out["verifier"] = ("ensemble(-FID + 10*IS), on-device random-weight "
+                       f"inception, real stats from {stats_src}")
     return out
 
 
@@ -291,29 +298,63 @@ def measure_dpm() -> dict:
             "schedule_T": T, "wall_seconds": round(best, 4)}
 
 
+def _search_model():
+    """The search-workload model: the committed TRAINED shapes32 checkpoint
+    when present (BASELINE.md specifies searches on a trained model), else
+    a random-init fallback with that provenance recorded."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    ta = importlib.import_module("experiments.train_artifacts")
+    model, _ = ta.build_unet("shapes32_uncond")
+    params = load_artifact_params("shapes32_uncond")
+    if params is not None:
+        provenance = "trained (artifacts/shapes32_uncond, shapes dataset)"
+    else:
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, IMG, IMG, 3), jnp.float32),
+                            jnp.zeros((2,), jnp.int32))
+        provenance = "random-init (artifacts/ missing)"
+    eps_fn = lambda xx, tt: model.apply(params, xx, tt)
+    return eps_fn, provenance
+
+
+def _bench_verifier():
+    """Classifier verifier from the committed SmallCNN (BASELINE.md
+    workload 3: 'classifier verifier'), else the self-supervised heuristic."""
+    import jax.numpy as jnp
+
+    path = os.path.join(ARTIFACTS, "classifier_shapes32")
+    if os.path.isdir(path):
+        from itsd_tpu.models import load_classifier
+        from itsd_tpu.search import classifier_verifier
+        logit_fn, _, _ = load_classifier(path)
+        target = int(os.environ.get("BENCH_TARGET_LABEL", "3"))
+        targets = jnp.full((8,), target, jnp.int32)
+        return (classifier_verifier(logit_fn, targets),
+                f"classifier (artifacts/classifier_shapes32, target={target})")
+    from itsd_tpu.search import self_supervised_verifier
+    return self_supervised_verifier(), "self_supervised (no classifier ckpt)"
+
+
 def measure_search() -> dict:
-    """Best-of-N random search throughput (BASELINE.md workload 3):
-    N=16 candidates x batch 8, self-supervised verifier, one jitted program
-    with the candidate axis folded into the batch."""
+    """BASELINE.md workload 3 as SPECIFIED: best-of-16 random search at FULL
+    T=1000, classifier verifier, trained weights — one jitted program with
+    the candidate axis folded into the batch. T / verifier / weight
+    provenance are explicit fields (VERDICT r2 weak #2)."""
     import jax
     import jax.numpy as jnp
     from itsd_tpu.core import linear_schedule, sample
-    from itsd_tpu.models import UNet, uncond_unet_config
-    from itsd_tpu.search import random_search, self_supervised_verifier
+    from itsd_tpu.search import random_search
 
     n_cand = int(os.environ.get("BENCH_SEARCH_N", "16"))
-    t_search = int(os.environ.get("BENCH_SEARCH_T", "100"))
-    cfg = uncond_unet_config(ch=128, ch_mult=(1, 2, 2, 2), attn=(1,),
-                             num_res_blocks=2, dropout=0.1,
-                             dtype="bfloat16")
-    model = UNet(cfg)
+    t_search = int(os.environ.get("BENCH_SEARCH_T", str(T)))
     sched = linear_schedule(1e-4, 0.02, t_search)
-    x = jnp.zeros((8, IMG, IMG, 3), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x,
-                        jnp.zeros((8,), jnp.int32))
-    eps_fn = lambda xx, tt: model.apply(params, xx, tt)
+    eps_fn, weights = _search_model()
+    verifier, verifier_desc = _bench_verifier()
     denoise = lambda n, k: sample(sched, eps_fn, n, k)
-    verifier = self_supervised_verifier()
 
     # jit the WHOLE search: one compiled program for candidate generation,
     # batched denoising, scoring and argmax (no per-op dispatch)
@@ -329,13 +370,95 @@ def measure_search() -> dict:
     _, s, scores = run(jax.random.PRNGKey(2))
     best = float(s)
     dt = time.perf_counter() - t0
+    scores = [float(v) for v in scores]
     return {"n_candidates": n_cand, "T": t_search,
+            "verifier": verifier_desc, "weights": weights,
             "wall_seconds": round(dt, 3),
             "candidates_per_sec": round(n_cand / dt, 3),
-            "best_score": best, "nfes": n_cand}
+            "best_score": best,
+            "median_score": sorted(scores)[len(scores) // 2],
+            "nfes": n_cand}
+
+
+def measure_train() -> dict:
+    """Training-step throughput (3 of 5 BASELINE.md cost anchors are
+    training configs): the full jitted SPMD step — forward + backward +
+    AdamW + EMA — on the CIFAR-scale ch=128 UNet, bf16."""
+    import jax
+    import jax.numpy as jnp
+    from itsd_tpu.core import linear_schedule
+    from itsd_tpu.models import UNet, uncond_unet_config
+    from itsd_tpu.train import (OptimizerConfig, create_train_state,
+                                make_optimizer, make_train_step)
+
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", "256"))
+    cfg = uncond_unet_config(ch=128, ch_mult=(1, 2, 2, 2), attn=(1,),
+                             num_res_blocks=2, dropout=0.1, dtype="bfloat16")
+    model = UNet(cfg)
+    sched = linear_schedule(1e-4, 0.02, T)
+    x = jnp.zeros((batch, IMG, IMG, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x,
+                        jnp.zeros((batch,), jnp.int32))
+    tx = make_optimizer(OptimizerConfig(lr=1e-4, epochs=10,
+                                        steps_per_epoch=100))
+    state = create_train_state(params, tx)
+    step = make_train_step(lambda p, *a, **kw: model.apply(p, *a, **kw),
+                           sched, tx)
+    batch_d = {"image": jax.random.normal(jax.random.PRNGKey(1), x.shape)}
+    flops = None
+    try:
+        ca = step.lower(state, batch_d,
+                        jax.random.PRNGKey(9)).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    state, m = step(state, batch_d, jax.random.PRNGKey(2))
+    jax.block_until_ready(m)  # compile
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        state, m = step(state, batch_d, jax.random.PRNGKey(3 + i))
+        jax.block_until_ready(m)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {"batch": batch, "ms_per_step": round(best * 1e3, 2),
+            "images_per_sec": round(batch / best, 1),
+            "mfu_vs_197tflops": (round(flops / best / 197e12, 3)
+                                 if flops else None),
+            "model": "CIFAR-scale UNet ch=128 (1,2,2,2) bf16"}
+
+
+def measure_imagenet256() -> dict:
+    """The reference's flagship 256x256 operating point (config.yaml:17-31,
+    attention at 4096 tokens) on one chip: flash vs XLA attention A/B on
+    the sampler + the full train step. Probe-T scan, extrapolated to
+    T=1000; see experiments/perf_imagenet256.py for the standalone deep
+    version."""
+    import importlib
+
+    p256 = importlib.import_module("experiments.perf_imagenet256")
+    batch = int(os.environ.get("BENCH_256_BATCH", "8"))
+    probe_t = int(os.environ.get("BENCH_256_T", "10"))
+    out = {"flash": p256.measure_sampler("flash", batch, probe_t, 1000)}
+    try:
+        out["xla"] = p256.measure_sampler("xla", batch, probe_t, 1000)
+        out["flash_speedup_vs_xla"] = round(
+            out["xla"]["ms_per_model_eval"]
+            / out["flash"]["ms_per_model_eval"], 2)
+    except Exception as e:
+        out["xla"] = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        out["train_step"] = p256.measure_train_step(
+            int(os.environ.get("BENCH_256_TRAIN_BATCH", "8")))
+    except Exception as e:
+        out["train_step"] = {"error": f"{type(e).__name__}: {e}"}
+    return out
 
 
 def main():
+    _enable_cache()
     ours = measure_ours()
     base = get_baseline()
     vs = (ours["images_per_sec"] / base["images_per_sec"]
@@ -346,7 +469,9 @@ def main():
     if os.environ.get("BENCH_FAST") != "1":
         for name, fn in (("cfg", measure_cfg), ("search", measure_search),
                          ("ensemble_search", measure_ensemble_search),
-                         ("fast_sampler", measure_dpm)):
+                         ("fast_sampler", measure_dpm),
+                         ("train", measure_train),
+                         ("imagenet256", measure_imagenet256)):
             try:
                 log(f"[bench] measuring workload: {name} ...")
                 extra[name] = fn()

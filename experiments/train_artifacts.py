@@ -1,0 +1,231 @@
+"""Train-and-commit the small on-chip model zoo in `artifacts/`.
+
+BASELINE.md workloads 3-5 specify searches on *trained* models with a
+*classifier* verifier; random-init throughput probes can't produce real
+best-of-N scores. This script really trains, on the TPU, on the procedural
+shapes dataset (the learnable, class-structured stand-in for CIFAR/ImageNet
+on dataset-less machines — docs/RESULTS.md):
+
+  shapes32_uncond       — 32x32 unconditional UNet (ch=64), EMA weights
+  shapes64_cond         — 64x64 conditional UNet (ch=64, 10 labels), EMA
+  classifier_shapes32   — SmallCNN verifier backbone at 32x32
+  classifier_shapes64   — SmallCNN verifier backbone at 64x64
+
+Weights are saved bf16 (halves the committed size; bench casts back to f32)
+via the product checkpoint path (orbax `save_params`). `bench.py` and the
+workload-5 experiment load these to run searches the way BASELINE.md
+specifies them.
+
+Usage: python experiments/train_artifacts.py [--only shapes32_uncond]
+       [--steps 3000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ARTIFACTS = os.path.join(REPO, "artifacts")
+
+# The single source of truth for artifact model architectures — bench.py and
+# experiments import these to rebuild the exact module a checkpoint matches.
+ARCHS = {
+    "shapes32_uncond": dict(img=32, ch=64, ch_mult=(1, 2, 2), attn=(1,),
+                            num_res_blocks=2, dropout=0.1, num_labels=None),
+    # conditional topology matches cli.runner.build_model's CFG branch
+    # exactly (down_attn_all, dual-conv downs — the reference
+    # ModelCondition.py layout) so run_search can load this checkpoint
+    "shapes64_cond": dict(img=64, ch=64, ch_mult=(1, 2, 2, 2), attn=(),
+                          num_res_blocks=2, dropout=0.1, num_labels=10),
+}
+TRAIN_T = 1000
+
+
+def build_unet(name, dtype="bfloat16", attention_impl="auto"):
+    import dataclasses as _dc
+
+    from itsd_tpu.models import UNet, cond_unet_config, uncond_unet_config
+
+    a = ARCHS[name]
+    if a["num_labels"]:
+        cfg = cond_unet_config(num_labels=a["num_labels"], ch=a["ch"],
+                               ch_mult=a["ch_mult"],
+                               num_res_blocks=a["num_res_blocks"],
+                               dropout=a["dropout"], T=TRAIN_T, dtype=dtype,
+                               attention_impl=attention_impl)
+        cfg = _dc.replace(cfg, time_embed="functional")
+    else:
+        cfg = uncond_unet_config(ch=a["ch"], ch_mult=a["ch_mult"],
+                                 attn=a["attn"],
+                                 num_res_blocks=a["num_res_blocks"],
+                                 dropout=a["dropout"], T=TRAIN_T,
+                                 time_embed="functional", dtype=dtype,
+                                 attention_impl=attention_impl)
+    return UNet(cfg), bool(a["num_labels"])
+
+
+def note(m):
+    print(f"[artifacts] {m}", file=sys.stderr, flush=True)
+
+
+def save_bf16(path, params):
+    import jax
+    import jax.numpy as jnp
+    from itsd_tpu.train.checkpoint import save_params
+
+    small = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.bfloat16)
+        if getattr(a, "dtype", None) == jnp.float32 else a, params)
+    save_params(path, jax.device_get(small))
+
+
+def train_diffusion(name, steps, batch, seed=0):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from itsd_tpu.core import linear_schedule
+    from itsd_tpu.data import shapes_dataset
+    from itsd_tpu.train import (OptimizerConfig, create_train_state,
+                                make_optimizer, make_train_step)
+
+    a = ARCHS[name]
+    model, conditional = build_unet(name)
+    images, labels = shapes_dataset(
+        n=8192 if a["img"] <= 32 else 4096, img_size=a["img"],
+        num_labels=a["num_labels"] or 10, seed=seed)
+    sched = linear_schedule(1e-4, 0.02, TRAIN_T)
+
+    x = jnp.zeros((2, a["img"], a["img"], 3), jnp.float32)
+    t = jnp.zeros((2,), jnp.int32)
+    if conditional:
+        params = model.init(jax.random.PRNGKey(seed), x, t,
+                            jnp.zeros((2,), jnp.int32))
+    else:
+        params = model.init(jax.random.PRNGKey(seed), x, t)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(params))
+    note(f"{name}: {n_params/1e6:.1f}M params, {len(images)} train images, "
+         f"{steps} steps @ batch {batch}")
+
+    epochs = max(1, steps * batch // len(images))
+    tx = make_optimizer(OptimizerConfig(
+        lr=2e-4, epochs=epochs, steps_per_epoch=len(images) // batch,
+        ema_decay=0.999))
+    state = create_train_state(params, tx, ema=True)
+    step_fn = make_train_step(
+        lambda p, *aa, **kw: model.apply(p, *aa, **kw), sched, tx,
+        conditional=conditional, ema_decay=0.999)
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed + 1)
+    t0 = time.time()
+    loss0 = lossN = None
+    for i in range(steps):
+        idx = rng.integers(0, len(images), size=batch)
+        batch_d = {"image": jnp.asarray(images[idx])}
+        if conditional:
+            batch_d["label"] = jnp.asarray(labels[idx])
+        key, skey = jax.random.split(key)
+        state, metrics = step_fn(state, batch_d, skey)
+        if i == 0:
+            loss0 = float(metrics["loss"])
+            note(f"{name}: step 0 loss {loss0:.4f} "
+                 f"(compile {time.time()-t0:.0f}s)")
+        if (i + 1) % 500 == 0:
+            lossN = float(metrics["loss"])
+            note(f"{name}: step {i+1} loss {lossN:.4f} "
+                 f"({(i+1)/(time.time()-t0):.1f} steps/s)")
+    lossN = float(metrics["loss"])
+
+    out = os.path.join(ARTIFACTS, name)
+    save_bf16(out, state.ema_params)
+    meta = {"arch": {k: list(v) if isinstance(v, tuple) else v
+                     for k, v in a.items()},
+            "train_T": TRAIN_T, "steps": steps, "batch": batch,
+            "dataset": f"shapes{a['img']}", "loss_first": loss0,
+            "loss_final": lossN, "ema": True, "dtype_saved": "bfloat16",
+            "wall_s": round(time.time() - t0, 1)}
+    with open(os.path.join(ARTIFACTS, f"{name}.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    note(f"{name}: saved -> {out} (loss {loss0:.3f} -> {lossN:.3f})")
+
+    # qualitative proof: a sampled grid from the EMA weights
+    from itsd_tpu.core import sample as core_sample
+    from itsd_tpu.utils import save_image_grid
+    ema_f32 = jax.tree.map(lambda p: jnp.asarray(p, jnp.float32),
+                           state.ema_params)
+    if conditional:
+        from itsd_tpu.core import make_cfg_eps_fn
+        lab = (jnp.arange(16) % (a["num_labels"])) + 1
+        eps_fn = make_cfg_eps_fn(
+            lambda xx, tt, ll: model.apply(ema_f32, xx, tt, ll), lab, 1.8)
+    else:
+        eps_fn = lambda xx, tt: model.apply(ema_f32, xx, tt)
+    grid_noise = jax.random.normal(jax.random.PRNGKey(7),
+                                   (16, a["img"], a["img"], 3))
+    imgs = jax.jit(lambda n, k: core_sample(sched, eps_fn, n, k))(
+        grid_noise, jax.random.PRNGKey(8))
+    save_image_grid(np.asarray(imgs),
+                    os.path.join(REPO, "docs", "results",
+                                 f"artifact_{name}_sampled.png"), nrow=4)
+    note(f"{name}: sample grid written")
+
+
+def train_verifier_classifier(img, seed=0):
+    import numpy as np
+
+    from itsd_tpu.data import shapes_dataset
+    from itsd_tpu.models import (ClassifierConfig, save_classifier,
+                                 train_classifier)
+
+    images, labels = shapes_dataset(n=4096, img_size=img, num_labels=10,
+                                    seed=seed)
+    _, params, acc = train_classifier(
+        images, labels,
+        ClassifierConfig(num_classes=10, ch=32, depth=3),
+        epochs=8, batch_size=256, seed=seed)
+    name = f"classifier_shapes{img}"
+    save_classifier(os.path.join(ARTIFACTS, name), params)
+    with open(os.path.join(ARTIFACTS, f"{name}.json"), "w") as f:
+        json.dump({"num_classes": 10, "ch": 32, "depth": 3,
+                   "train_acc_512": acc, "dataset": f"shapes{img}"}, f,
+                  indent=1)
+    note(f"{name}: saved (train acc {acc:.3f})")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--steps32", type=int, default=3000)
+    ap.add_argument("--steps64", type=int, default=3000)
+    ap.add_argument("--batch32", type=int, default=256)
+    ap.add_argument("--batch64", type=int, default=64)
+    args = ap.parse_args()
+
+    from itsd_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    os.makedirs(ARTIFACTS, exist_ok=True)
+
+    jobs = {
+        "classifier_shapes32": lambda: train_verifier_classifier(32),
+        "classifier_shapes64": lambda: train_verifier_classifier(64),
+        "shapes32_uncond": lambda: train_diffusion(
+            "shapes32_uncond", args.steps32, args.batch32),
+        "shapes64_cond": lambda: train_diffusion(
+            "shapes64_cond", args.steps64, args.batch64),
+    }
+    for name, job in jobs.items():
+        if args.only and name != args.only:
+            continue
+        job()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,14 +1,23 @@
-"""BASELINE.md workload 5 measured: ImageNet-64 conditional DDPM, extended
-T=3000 (functional time embedding — no surgery needed), best-of-64 random
-search, CFG w=1.8, driven through the PRODUCT path (`cli.runner.run_search`,
-the same jitted end-to-end program the `search` CLI runs).
+"""BASELINE.md workload 5 measured: 64x64 conditional DDPM, extended T=3000
+(functional time embedding — no surgery needed), best-of-64 random search,
+CFG w=1.8, driven through the PRODUCT path (`cli.runner.run_search`, the
+same jitted end-to-end program the `search` CLI runs).
+
+Two modes (--model):
+  artifact (default) — the TRAINED 64x64 conditional model committed in
+      artifacts/shapes64_cond, scored by the trained SmallCNN classifier
+      verifier: `best_score` is a REAL search result (mean target-class
+      log-probability), and the winner grid is written. The T=3000 CFG
+      chain runs with diffusion.clip_denoised=true (the per-step x0-hat
+      clip that bounds long extrapolative-guidance chains,
+      core/process.p_sample_step).
+  imagenet-scale — the ImageNet-scale config (ch=128, 1000 labels) at
+      random init: a pure throughput probe (weight-value independent);
+      best_score is reported null by construction.
 
 Single-chip measurement; the candidate axis shards over a mesh when more
 devices are present (same code path proven on the 8-device virtual mesh in
 tests/test_sharded_search.py and in __graft_entry__.dryrun_multichip).
-
-Weights are freshly initialised — throughput at this scale is weight-value
-independent; the quality story at real scale is docs/RESULTS.md.
 
 Usage: python experiments/workload5_imagenet64.py [--candidates 64] [--t 3000]
 Writes: docs/results/workload5_imagenet64.json
@@ -44,40 +53,91 @@ def main():
                          "chain into N solver steps (see docs/RESULTS.md "
                          "Axis 3 for why that wins at fixed budget)")
     ap.add_argument("--solver-steps", type=int, default=20)
+    ap.add_argument("--model", default="artifact",
+                    choices=["artifact", "imagenet-scale"],
+                    help="artifact = trained shapes64_cond + classifier "
+                         "verifier (real best_score); imagenet-scale = "
+                         "ch128/1000-label random-init throughput probe")
     ap.add_argument("--out", default=os.path.join(
         REPO, "docs", "results", "workload5_imagenet64.json"))
     args = ap.parse_args()
 
+    from itsd_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from itsd_tpu.cli.runner import build_model, run_search
     from itsd_tpu.utils.config import load_config
 
-    cfg = load_config(
-        os.path.join(REPO, "configs", "imagenet64_cond_search.yaml"),
-        overrides=[
-            f"search.n_candidates={args.candidates}",
-            f"search.candidate_chunk={args.chunk}",
-            f"inference_T={args.t}",
-            f"train.eval_batch_size={args.per_candidate_batch}",
-            f"diffusion.sampler={args.sampler}",
-            f"diffusion.ddim_steps={args.solver_steps}",
-        ])
-
     def note(m):
         print(f"[w5] {m}", file=sys.stderr, flush=True)
 
-    note(f"init ImageNet-64 conditional UNet ({cfg.model.num_labels} labels, "
-         "bf16) ...")
+    overrides = [
+        f"search.n_candidates={args.candidates}",
+        f"search.candidate_chunk={args.chunk}",
+        f"inference_T={args.t}",
+        f"train.eval_batch_size={args.per_candidate_batch}",
+        f"diffusion.sampler={args.sampler}",
+        f"diffusion.ddim_steps={args.solver_steps}",
+    ]
+    artifact_dir = os.path.join(REPO, "artifacts")
+    use_artifact = (args.model == "artifact"
+                    and os.path.isdir(os.path.join(artifact_dir,
+                                                   "shapes64_cond")))
+    if args.model == "artifact" and not use_artifact:
+        note("artifacts/shapes64_cond missing — falling back to the "
+             "imagenet-scale random-init throughput probe")
+
+    if use_artifact:
+        import experiments.train_artifacts as ta
+        a = ta.ARCHS["shapes64_cond"]
+        overrides += [
+            f"model.channel={a['ch']}",
+            f"model.channel_mult={list(a['ch_mult'])}",
+            f"model.num_res_blocks={a['num_res_blocks']}",
+            f"model.dropout={a['dropout']}",
+            f"model.num_labels={a['num_labels']}",
+            "search.verifier=classifier",
+            "search.classifier_ckpt=" + os.path.join(
+                artifact_dir, "classifier_shapes64"),
+            # bounds the T=3000 extrapolative-CFG chain (the round-2
+            # bf16-overflow failure mode); regression-tested in
+            # tests/test_round3_fixes.py
+            "diffusion.clip_denoised=true",
+        ]
+    cfg = load_config(
+        os.path.join(REPO, "configs", "imagenet64_cond_search.yaml"),
+        overrides=overrides)
+
     model, conditional = build_model(cfg)
     assert conditional
-    x = jnp.zeros((1, cfg.data.img_size, cfg.data.img_size, 3), jnp.float32)
-    t = jnp.zeros((1,), jnp.int32)
-    lab = jnp.zeros((1,), jnp.int32)
     t0 = time.perf_counter()
-    params = model.init(jax.random.PRNGKey(0), x, t, lab)
-    jax.block_until_ready(params)
-    note(f"init {time.perf_counter() - t0:.0f}s; running search "
+    if use_artifact:
+        from itsd_tpu.train.checkpoint import restore_params
+        params = restore_params(os.path.join(artifact_dir, "shapes64_cond"))
+        params = jax.tree.map(
+            lambda p: jnp.asarray(p, jnp.float32)
+            if getattr(p, "dtype", None) == jnp.bfloat16 else jnp.asarray(p),
+            params)
+        weights_desc = ("trained EMA (artifacts/shapes64_cond, shapes64 "
+                        "dataset)")
+        verifier_desc = ("trained SmallCNN classifier "
+                        "(artifacts/classifier_shapes64): mean target-class "
+                        "log-prob")
+        note(f"loaded trained 64x64 conditional UNet "
+             f"({cfg.model.num_labels} labels, ch={cfg.model.channel})")
+    else:
+        x = jnp.zeros((1, cfg.data.img_size, cfg.data.img_size, 3),
+                      jnp.float32)
+        t = jnp.zeros((1,), jnp.int32)
+        lab = jnp.zeros((1,), jnp.int32)
+        note(f"init ImageNet-64 conditional UNet ({cfg.model.num_labels} "
+             "labels, bf16) ...")
+        params = model.init(jax.random.PRNGKey(0), x, t, lab)
+        jax.block_until_ready(params)
+        weights_desc = "random-init (throughput probe)"
+        verifier_desc = "self_supervised heuristic"
+    note(f"setup {time.perf_counter() - t0:.0f}s; running search "
          f"(N={args.candidates}, T={args.t}, CFG w={cfg.diffusion.w}, "
          f"batch/candidate={args.per_candidate_batch}) ...")
 
@@ -131,10 +191,35 @@ def main():
     if args.sampler != "ddpm" and args.out.endswith(".json"):
         args.out = args.out.replace(
             ".json", f"_{args.sampler}{args.solver_steps}.json")
+    if not use_artifact and args.out.endswith(".json"):
+        args.out = args.out.replace(".json", "_imagenet_scale.json")
+    best_score = (float(res["best_score"])
+                  if res and np.isfinite(res["best_score"]) else None)
+    if use_artifact:
+        assert best_score is not None, (
+            "artifact-mode search must produce a finite score "
+            "(clip_denoised bounds the chain)")
+        # commit the winner grid next to the result
+        import shutil
+        src = os.path.join(cfg.sampled_dir, "search_random_best.png")
+        if os.path.isfile(src):
+            shutil.copy(src, os.path.join(
+                REPO, "docs", "results", "workload5_winner.png"))
+        scores = np.asarray(res["result"].history["scores"]).ravel()
+        score_stats = {"median": float(np.median(scores)),
+                       "min": float(np.min(scores)),
+                       "max": float(np.max(scores))}
+    else:
+        score_stats = None
     report = {
-        "workload": "BASELINE.md #5: ImageNet-64 cond DDPM, extended "
+        "workload": "BASELINE.md #5: 64x64 cond DDPM, extended "
                     f"T={args.t}, best-of-{args.candidates} random search, "
                     f"CFG w={cfg.diffusion.w}",
+        "model": (f"ch={cfg.model.channel} mult={cfg.model.channel_mult} "
+                  f"labels={cfg.model.num_labels}"),
+        "weights": weights_desc,
+        "verifier": verifier_desc,
+        "clip_denoised": cfg.diffusion.clip_denoised,
         "sampler": args.sampler,
         "evals_per_candidate": evals_per_cand * 2,
         "device": str(jax.devices()[0]),
@@ -144,10 +229,8 @@ def main():
         "candidates_per_s": args.candidates / best,
         "images_denoised_per_s": imgs / best,
         "model_evals_per_s": nfe_model_evals / best,
-        # finite only with trained weights; random-init bf16 activations can
-        # overflow over 3000 CFG steps (throughput is weight-independent)
-        "best_score": (float(res["best_score"])
-                       if res and np.isfinite(res["best_score"]) else None),
+        "best_score": best_score,
+        "candidate_score_stats": score_stats,
         "all_s": times,
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -34,6 +34,15 @@ def _parse(argv):
 
 def main(argv=None) -> int:
     args = _parse(argv if argv is not None else sys.argv[1:])
+    # Persistent XLA compilation cache: a fresh process pays minutes of
+    # compile for the T=1000 sampler otherwise; with the cache, warm starts
+    # deserialise in seconds (docs/PERF.md "Compilation cache").
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+    # Multi-host entry hook (no-op unless ITSD_MULTIHOST=1): after this,
+    # jax.devices() spans all hosts and the same mesh/sharding code scales
+    from ..parallel import maybe_initialize_distributed
+    maybe_initialize_distributed()
     cfg = load_config(args.config, args.overrides)
     print(f"[itsd_tpu] {args.command} with config:")
     print(to_dict(cfg))

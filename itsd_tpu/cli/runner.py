@@ -121,7 +121,10 @@ def load_eval_params(cfg: Config, model, conditional: bool):
     try:
         restored = restore_checkpoint(path)
         params = restored.ema_params or restored.params
-    except Exception:
+    except (KeyError, TypeError):
+        # weights-only checkpoint: restores as a bare params pytree, so the
+        # TrainState field access fails; other errors (missing path,
+        # corrupt checkpoint) propagate with their real cause
         params = restore_params(
             path, template=init_params(cfg, model, conditional))
     ckpt_T = detect_checkpoint_T(params)
@@ -144,6 +147,15 @@ def run_sampler(cfg: Config, sched, eps_fn, x_T, key):
             sched, eps_fn, x_T, key,
             num_steps=min(cfg.diffusion.ddim_steps, sched.T))
     if cfg.diffusion.sampler == "picard":
+        if len(jax.devices()) == 1:
+            import warnings
+            warnings.warn(
+                "diffusion.sampler=picard on a single chip is MEASURED "
+                "SLOWER than sequential DDIM (0.29-0.65x, docs/results/"
+                "picard_latency.json): the convs are compute-bound, so "
+                "folding the time grid buys nothing without a mesh to "
+                "shard it over. Use sampler=ddim/dpm here, picard on "
+                ">=2 devices.", stacklevel=2)
         imgs, _ = parallel_picard_sample(
             sched, eps_fn, x_T, key,
             num_steps=min(cfg.diffusion.ddim_steps, sched.T))
@@ -152,7 +164,8 @@ def run_sampler(cfg: Config, sched, eps_fn, x_T, key):
         raise ValueError(
             f"unknown diffusion.sampler {cfg.diffusion.sampler!r}; "
             "expected ddpm | ddim | dpm | picard")
-    return sample(sched, eps_fn, x_T, key)
+    return sample(sched, eps_fn, x_T, key,
+                  clip_denoised=cfg.diffusion.clip_denoised)
 
 
 def make_eps_fn(model, params, conditional: bool, labels=None,
@@ -170,6 +183,16 @@ def make_eps_fn(model, params, conditional: bool, labels=None,
 # Train
 
 
+def resolve_track_metrics(cfg: Config) -> bool:
+    """train.track_metrics=None means auto: tracked eval ON (the reference
+    always evaluates during training, `Train.py:719-803`) except on the
+    test-only synthetic blobs."""
+    t = cfg.train.track_metrics
+    if t is None:
+        return cfg.data.dataset != "synthetic"
+    return bool(t)
+
+
 def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     """Full training loop. Returns summary dict (final loss, ckpt paths)."""
     model, conditional = build_model(cfg)
@@ -178,8 +201,9 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
 
     # Metric-tracked eval during training (C23, `Train.py:516-536,719-803`):
     # hold out a val split whose real features anchor FID/CLIP, and run
-    # tracked sampling every eval_freq epochs.
-    track = cfg.train.track_metrics
+    # tracked sampling every eval_freq epochs. Default (None) is ON — the
+    # reference always evaluates — except on the test-only synthetic blobs.
+    track = resolve_track_metrics(cfg)
     feature_fn = logit_fn = clip_feature_fn = None
     real_features = real_clip_features = None
     if track:
@@ -267,7 +291,6 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     profiler = trace_steps(cfg.train.profile_steps,
                            os.path.join(cfg.metrics_save_dir, "trace"))
     for epoch in range(cfg.train.epoch):
-        epoch_loss = None
         epoch_reprs, epoch_repr_labels = [], []
 
         def host_batches():
@@ -291,8 +314,7 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
             # keep the loss as a device scalar: no host round-trip in the
             # hot loop (the reference syncs with loss.item() every step,
             # `Train.py:704`)
-            epoch_loss = metrics["loss"]
-            losses.append(epoch_loss)
+            losses.append(metrics["loss"])
             if (repr_fn is not None and extract_freq
                     and batch_i % extract_freq == 0):
                 labels_p1 = hbatch["label"].astype(jnp.int32) + 1
@@ -578,11 +600,93 @@ def inference_metrics(cfg: Config, feature_fn=None, logit_fn=None,
 # Search CLI (un-wired in the reference)
 
 
+def build_cli_verifier(cfg: Config, conditional: bool, eval_bs: int):
+    """Every verifier the repo's experiments use, reachable from the CLI
+    (`search.verifier=`): the heuristics (oracle / self_supervised /
+    aesthetic) plus the weight-backed ones — classifier (SmallCNN
+    checkpoint), clip (text-image cosine), ensemble (-FID + w*IS on-device
+    Inception). The reference never wired its search library to any entry
+    point (SURVEY §1 L3)."""
+    from ..search import (aesthetic_score, batch_pixel_variance_score,
+                          classifier_verifier, ensemble_fid_is_verifier,
+                          self_supervised_verifier, supervised_verifier)
+
+    s = cfg.search
+    simple = {
+        "oracle": batch_pixel_variance_score,
+        "self_supervised": self_supervised_verifier(),
+        "aesthetic": aesthetic_score,
+    }.get(s.verifier)
+    if simple is not None:
+        return simple
+
+    if s.verifier == "classifier":
+        if not s.classifier_ckpt:
+            raise ValueError(
+                "search.verifier=classifier needs search.classifier_ckpt "
+                "(save one with models.classifier.save_classifier)")
+        from ..models import load_classifier
+        path = s.classifier_ckpt
+        if not os.path.isabs(path):
+            path = os.path.join(cfg.save_weight_dir, path)
+        logit_fn, _, ccfg = load_classifier(path)
+        if s.target_label is not None:
+            targets = jnp.full((eval_bs,), int(s.target_label), jnp.int32)
+        elif conditional:
+            # the sampler conditions on labels (arange % num_labels) + 1;
+            # the classifier scores the corresponding true classes
+            targets = (jnp.arange(eval_bs) % cfg.model.num_labels
+                       ).astype(jnp.int32)
+        else:
+            raise ValueError(
+                "unconditional classifier search needs search.target_label")
+        assert int(jnp.max(targets)) < ccfg.num_classes, (
+            f"target labels exceed classifier classes ({ccfg.num_classes})")
+        return classifier_verifier(logit_fn, targets)
+
+    if s.verifier == "clip":
+        from ..metrics import make_clip_feature_fn
+        clip_fn = make_clip_feature_fn()
+        if clip_fn is None:
+            raise ValueError(
+                "search.verifier=clip needs CLIP weights: set "
+                "$ITSD_CLIP_WEIGHTS to an OpenAI CLIP state dict")
+        text_feats = None
+        if s.clip_text_features:
+            text_feats = jnp.asarray(np.load(s.clip_text_features))
+        # with text features: text-image cosine (C17); without: mean
+        # feature norm, the reference's no-prompt proxy (verifier.py:163)
+        return supervised_verifier(clip_fn, text_feats)
+
+    if s.verifier == "ensemble":
+        from ..metrics.features import make_inception_extractors
+        from ..metrics.inception import inception_v3, preprocess
+        feature_fn, _, provenance = make_inception_extractors()
+        # one forward feeding both FID features and IS logits inside the
+        # jitted search
+        from ..metrics.features import _inception_params
+        inc_params, _ = _inception_params(
+            os.environ.get("ITSD_INCEPTION_WEIGHTS") or None)
+        run_fn = lambda unit: inception_v3(inc_params, preprocess(unit))
+        images, _ = load_dataset(cfg)
+        unit = (images + 1.0) / 2.0
+        real_feats = compute_real_features(
+            unit, feature_fn, num_samples=s.ensemble_num_real)
+        print(f"[search] ensemble verifier: -FID + {s.ensemble_is_weight}"
+              f"*IS, inception={provenance}, "
+              f"{len(real_feats)} real images")
+        return ensemble_fid_is_verifier(
+            run_fn, real_feats, is_weight=s.ensemble_is_weight)
+
+    raise ValueError(
+        f"unknown search.verifier {s.verifier!r}; expected oracle | "
+        "self_supervised | aesthetic | classifier | clip | ensemble")
+
+
 def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
     from ..parallel import candidate_sharding, replicated
-    from ..search import (aesthetic_score, batch_pixel_variance_score,
-                          gradient_search, path_search, random_search,
-                          self_supervised_verifier, zero_order_search)
+    from ..search import (gradient_search, path_search, random_search,
+                          zero_order_search)
 
     model, conditional = build_model(cfg)
     if params is None:
@@ -628,14 +732,7 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
     denoise_fn = lambda noise, k: run_sampler(cfg, sched, eps_fn, noise, k)
 
     if verifier_fn is None:
-        verifier_fn = {
-            "oracle": batch_pixel_variance_score,
-            "self_supervised": self_supervised_verifier(),
-            "aesthetic": aesthetic_score,
-        }.get(s.verifier)
-        if verifier_fn is None:
-            raise ValueError(f"verifier {s.verifier!r} needs to be passed "
-                             "explicitly (requires weights/conditions)")
+        verifier_fn = build_cli_verifier(cfg, conditional, eval_bs)
 
     key = jax.random.PRNGKey(cfg.seed)
     # random/zero-order/path are pure programs: jit them END-TO-END so the
@@ -655,7 +752,11 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
         best = None
         all_scores = []
         for ci in range(s.n_candidates // chunk):
-            bn, bsc, bi, sc = _run(jax.random.fold_in(key, ci))
+            # chunk 0 consumes `key` unchanged so the common unchunked call
+            # is bit-identical to the pre-chunking seeded behaviour; later
+            # chunks fold in their index
+            kc = key if ci == 0 else jax.random.fold_in(key, ci)
+            bn, bsc, bi, sc = _run(kc)
             bsc = float(bsc)
             all_scores.append(np.asarray(sc))
             # NaN-aware: a NaN chunk (e.g. bf16 overflow on some
@@ -708,10 +809,19 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
         # (ddim_steps evals/iter) instead of the remat'd T-step chain
         solver_steps = (min(cfg.diffusion.ddim_steps, sched.T)
                         if cfg.diffusion.sampler == "dpm" else None)
-        res = gradient_search(key, init, sched, eps_fn, verifier_fn,
-                              n_iterations=s.n_iterations, lr=s.gradient_lr,
-                              return_images=True,
-                              solver_steps=solver_steps)
+
+        @jax.jit
+        def _run(k, init):
+            r = gradient_search(k, init, sched, eps_fn, verifier_fn,
+                                n_iterations=s.n_iterations,
+                                lr=s.gradient_lr, return_images=True,
+                                solver_steps=solver_steps, sharding=cand_sh)
+            return (r.best_noise, r.best_score, r.best_images,
+                    r.history["scores"], r.history["grad_norms"])
+        bn, bs, bi, sc, gns = _run(key, init)
+        res = SearchResult(bn, bs, bi,
+                           {"scores": sc, "grad_norms": gns},
+                           s.n_iterations + 1)
     else:
         raise ValueError(f"unknown search algorithm: {s.algorithm!r}")
 
@@ -739,7 +849,7 @@ def finetune_extended_T(cfg: Config, max_steps: Optional[int] = None) -> dict:
     try:
         restored = restore_checkpoint(path)  # full training checkpoint
         params = restored.ema_params or restored.params
-    except Exception:
+    except (KeyError, TypeError):
         params = restore_params(path, template=None)  # weights-only
     ckpt_T = detect_checkpoint_T(params)
     if ckpt_T is not None and ckpt_T != cfg.diffusion.T:

@@ -105,12 +105,27 @@ def p_mean_variance(sched: DiffusionSchedule, x_t: jnp.ndarray, t: jnp.ndarray,
 
 
 def p_sample_step(sched: DiffusionSchedule, x_t: jnp.ndarray, t: jnp.ndarray,
-                  eps: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
+                  eps: jnp.ndarray, noise: jnp.ndarray, *,
+                  clip_x0: bool = False) -> jnp.ndarray:
     """One reverse step: x_{t-1} = mu + sqrt(var) * noise, noiseless at t=0.
 
     The reference branches in Python (`Diffusion.py:95-99`); here the t==0
     case is a `where` mask so the step stays trace-friendly inside scan.
+
+    ``clip_x0`` clips the implied x_0-hat to [-1, 1] before the posterior
+    mean (the standard `clip_denoised` stabiliser the reference lacks):
+    extrapolative CFG (w>0) on long chains can otherwise blow the state up
+    without bound — each step's 1/sqrt(alpha) gain compounds. With clipping
+    the chain is bounded for ANY weights. Off by default: the unclipped
+    step is what the torch-parity tests pin down.
     """
+    if clip_x0:
+        nd = x_t.ndim
+        x0 = jnp.clip(predict_x0_from_eps(sched, x_t, t, eps), -1.0, 1.0)
+        # re-derive the eps consistent with the clipped x0-hat; the mean
+        # formula below is then exactly the posterior mean around it
+        eps = ((x_t - extract(sched.sqrt_alphas_bar, t, nd) * x0)
+               / extract(sched.sqrt_one_minus_alphas_bar, t, nd))
     mean, var = p_mean_variance(sched, x_t, t, eps)
     nonzero = (t > 0).astype(x_t.dtype).reshape(t.shape + (1,) * (x_t.ndim - 1))
     return mean + nonzero * jnp.sqrt(var) * noise

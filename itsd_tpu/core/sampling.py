@@ -35,7 +35,8 @@ from .schedules import DiffusionSchedule
 
 def _scan_steps(sched: DiffusionSchedule, eps_fn: EpsFn, x: jnp.ndarray,
                 key: jax.Array, t_hi: int, t_lo: int,
-                remat: bool = False, unroll: int = 1
+                remat: bool = False, unroll: int = 1,
+                clip_x0: bool = False
                 ) -> Tuple[jnp.ndarray, jax.Array]:
     """Run reverse steps for t = t_hi-1, ..., t_lo (inclusive). Static bounds."""
     ts = jnp.arange(t_hi - 1, t_lo - 1, -1, dtype=jnp.int32)
@@ -46,7 +47,7 @@ def _scan_steps(sched: DiffusionSchedule, eps_fn: EpsFn, x: jnp.ndarray,
         tb = jnp.full((x.shape[0],), t, dtype=jnp.int32)
         eps = eps_fn(x, tb)
         noise = jax.random.normal(nkey, x.shape, x.dtype)
-        x = p_sample_step(sched, x, tb, eps, noise)
+        x = p_sample_step(sched, x, tb, eps, noise, clip_x0=clip_x0)
         return (x, key), None
 
     if remat:
@@ -68,21 +69,26 @@ def _scan_steps(sched: DiffusionSchedule, eps_fn: EpsFn, x: jnp.ndarray,
 
 def sample(sched: DiffusionSchedule, eps_fn: EpsFn, x_T: jnp.ndarray,
            key: jax.Array, *, clip_output: bool = True,
-           remat: bool = False, unroll: int = 1) -> jnp.ndarray:
+           remat: bool = False, unroll: int = 1,
+           clip_denoised: bool = False) -> jnp.ndarray:
     """Full ancestral sampling: x_T ~ N(0, I) -> x_0, clipped to [-1, 1].
 
     Semantics match `GaussianDiffusionSampler.forward`
     (`Diffusion/Diffusion.py:84-102`). ``unroll`` unrolls the scan body
     (XLA can overlap/fuse across steps at some compile-time cost).
+    ``clip_denoised`` clips the per-step x_0-hat (see
+    `process.p_sample_step`) — the stabiliser for long extrapolative-CFG
+    chains (T=3000, w=1.8) whose state otherwise grows without bound.
     """
     x, _ = _scan_steps(sched, eps_fn, x_T, key, sched.T, 0, remat=remat,
-                       unroll=unroll)
+                       unroll=unroll, clip_x0=clip_denoised)
     return jnp.clip(x, -1.0, 1.0) if clip_output else x
 
 
 def denoise_segment(sched: DiffusionSchedule, eps_fn: EpsFn, x_t: jnp.ndarray,
                     key: jax.Array, t_from: int, t_to: int = 0, *,
-                    clip_output: bool = False) -> jnp.ndarray:
+                    clip_output: bool = False,
+                    clip_denoised: bool = False) -> jnp.ndarray:
     """Denoise from state x_{t_from} down to x_{t_to}.
 
     ``t_from``/``t_to`` are *static* Python ints (search injection points are
@@ -91,7 +97,8 @@ def denoise_segment(sched: DiffusionSchedule, eps_fn: EpsFn, x_t: jnp.ndarray,
     t = t_from - 1; with t_to = 0 this finishes the chain.
     """
     assert 0 <= t_to < t_from <= sched.T, (t_from, t_to)
-    x, _ = _scan_steps(sched, eps_fn, x_t, key, t_from, t_to)
+    x, _ = _scan_steps(sched, eps_fn, x_t, key, t_from, t_to,
+                       clip_x0=clip_denoised)
     return jnp.clip(x, -1.0, 1.0) if clip_output else x
 
 

@@ -212,11 +212,14 @@ def threaded_prefetch(iterator, size: int = 2, sharding=None):
 
     def put_guarded(item):
         """Blocking put that aborts when the consumer signalled stop —
-        never leaves the thread parked on a full queue."""
+        never leaves the thread parked on a full queue. Re-checks stop
+        AFTER a successful put: the consumer's teardown drain can free a
+        slot, and a put that sneaks in then would have built one more
+        device batch into the abandoned queue."""
         while not stop.is_set():
             try:
                 q.put(item, timeout=0.1)
-                return True
+                return not stop.is_set()
             except queue_mod.Full:
                 continue
         return False
@@ -247,6 +250,9 @@ def threaded_prefetch(iterator, size: int = 2, sharding=None):
                 q.get_nowait()
         except queue_mod.Empty:
             pass
+        # the producer sees stop within its 0.1 s put timeout; join so the
+        # thread (and any device batch it holds) is actually gone
+        t.join(timeout=2.0)
 
 
 def synthetic_dataset(n: int = 256, img_size: int = 32, num_labels: int = 10,

@@ -100,3 +100,33 @@ def train_classifier(images, labels, cfg: ClassifierConfig = None,
     preds = np.asarray(jnp.argmax(logit_fn(jnp.asarray(images[:512])), -1))
     acc = float((preds == labels[:512]).mean())
     return logit_fn, params, acc
+
+
+def save_classifier(path: str, params) -> None:
+    """Weights-only checkpoint a CLI search can load
+    (`search.verifier=classifier search.classifier_ckpt=...`)."""
+    import jax as _jax
+
+    from ..train.checkpoint import save_params
+    save_params(path, _jax.device_get(params))
+
+
+def load_classifier(path: str):
+    """Restore a SmallCNN checkpoint, inferring its architecture from the
+    parameter shapes (num_classes from the head, ch from conv0a, depth from
+    the conv-stage count). Returns (logit_fn, params, cfg)."""
+    from ..train.checkpoint import restore_params
+
+    params = restore_params(path, template=None)
+    p = params["params"]
+    depth = sum(1 for k in p if k.startswith("conv") and k.endswith("a"))
+    cfg = ClassifierConfig(
+        num_classes=int(p["head"]["kernel"].shape[-1]),
+        ch=int(p["conv0a"]["kernel"].shape[-1]),
+        depth=depth)
+    model = SmallCNN(cfg)
+
+    def logit_fn(x):
+        return model.apply(params, x)
+
+    return logit_fn, params, cfg

@@ -25,6 +25,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed(**kwargs) -> bool:
+    """Multi-host entry hook: bring up the JAX distributed runtime so
+    `jax.devices()` spans every host's chips and `make_mesh` builds a
+    global mesh (multi-slice via DCN rides the same API — SURVEY §2.7).
+
+    Activated by ITSD_MULTIHOST=1 (auto-detection on TPU pods) or by
+    passing explicit ``coordinator_address``/``num_processes``/
+    ``process_id`` kwargs. No-op — returns False — on single-host runs and
+    when already initialized, so every entry point can call it
+    unconditionally.
+    """
+    import os
+
+    if not (kwargs or os.environ.get("ITSD_MULTIHOST") == "1"):
+        return False
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        return False  # already initialized
+    return True
+
+
 def make_mesh(axis_sizes: Optional[Sequence[int]] = None,
               axis_names: Sequence[str] = ("data",),
               devices: Optional[Sequence] = None) -> Mesh:
@@ -78,7 +100,21 @@ def param_sharding(params, mesh: Mesh, model_axis: str = "model"):
     return jax.tree.map(rule, params)
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a host batch onto the mesh, sharded on the leading dim."""
+def shard_batch(batch, mesh: Mesh, axis: str = "data",
+                process_local: bool = False):
+    """Place a host batch onto the mesh, sharded on the leading dim.
+
+    ``process_local=True`` is the multi-host path: each process passes only
+    its LOCAL slice of the global batch (what its data loader produced) and
+    the result is a global array of ``process_count * local`` rows — the
+    standard per-process data-parallel feed. Works identically (and is
+    exercised in the dryrun) with a single process.
+    """
     sh = batch_sharding(mesh, axis)
+    if process_local:
+        def put(x):
+            x = np.asarray(x)
+            gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sh, x, gshape)
+        return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -293,6 +293,7 @@ def gradient_search(
     lr: float = 0.01,
     return_images: bool = False,
     solver_steps: int | None = None,
+    sharding=None,
 ) -> SearchResult:
     """Adam on the noise tensor against a differentiable verifier (C12b).
 
@@ -304,10 +305,21 @@ def gradient_search(
     instead — ``solver_steps`` evals per iteration rather than T, which is
     both cheaper and better-conditioned (no stochastic renoise inside the
     differentiated graph).
+
+    The whole optimisation is ONE `lax.scan` — like the other algorithms,
+    it is a pure jittable program with on-device best tracking and zero
+    per-iteration host syncs (the reference `.item()`s the loss every step,
+    `search_algorithm.py:408-430`). With a `NamedSharding`, the noise batch
+    spreads over the mesh's data axis (gradients reduce over ICI).
     """
     opt = optax.adam(lr)
+    if sharding is not None:
+        initial_noise = jax.lax.with_sharding_constraint(
+            initial_noise, sharding)
 
     def score_of(noise, k):
+        if sharding is not None:
+            noise = jax.lax.with_sharding_constraint(noise, sharding)
         if solver_steps is not None:
             from ..core.sampling import dpm_solver_sample
             images = dpm_solver_sample(sched, eps_fn, noise, k,
@@ -318,26 +330,26 @@ def gradient_search(
 
     grad_fn = jax.value_and_grad(lambda n, k: -score_of(n, k))
 
-    @jax.jit
-    def step(noise, opt_state, k):
+    def iteration(carry, k):
+        noise, opt_state, best_noise, best_score = carry
         loss, g = grad_fn(noise, k)
+        score = _nan_to_neg_inf(-loss)
+        # the score was evaluated AT `noise` (pre-update), so `noise` is
+        # the incumbent for best tracking — same semantics as the old
+        # host-side loop, now an on-device select
+        improved = score > best_score
+        best_noise = jnp.where(improved, noise, best_noise)
+        best_score = jnp.maximum(score, best_score)
         updates, opt_state = opt.update(g, opt_state, noise)
         noise = optax.apply_updates(noise, updates)
-        return noise, opt_state, -loss, optax.global_norm(g)
+        return ((noise, opt_state, best_noise, best_score),
+                (-loss, optax.global_norm(g)))
 
-    noise = initial_noise
-    opt_state = opt.init(noise)
-    best_noise, best_score = noise, -jnp.inf
-    scores, grad_norms = [], []
-    for i in range(n_iterations):
-        k = jax.random.fold_in(key, i)
-        new_noise, opt_state, score, gn = step(noise, opt_state, k)
-        scores.append(score)
-        grad_norms.append(gn)
-        s = float(score)
-        if s > float(best_score):
-            best_noise, best_score = noise, score
-        noise = new_noise
+    keys = jax.random.split(key, n_iterations)
+    init = (initial_noise, opt.init(initial_noise), initial_noise,
+            jnp.asarray(-jnp.inf))
+    (_, _, best_noise, best_score), (scores, grad_norms) = lax.scan(
+        iteration, init, keys)
 
     result_images = None
     if return_images:
@@ -351,9 +363,9 @@ def gradient_search(
                                    jax.random.fold_in(key, n_iterations))
     return SearchResult(
         best_noise=best_noise,
-        best_score=jnp.asarray(best_score),
+        best_score=best_score,
         best_images=result_images,
-        history={"scores": jnp.stack(scores),
-                 "grad_norms": jnp.stack(grad_norms)},
+        history={"scores": scores,
+                 "grad_norms": grad_norms},
         nfes=n_iterations + (1 if return_images else 0),
     )

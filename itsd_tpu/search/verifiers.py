@@ -176,6 +176,45 @@ def reference_integrated_weights() -> Dict[str, float]:
     return {"aesthetic": 0.4, "clip": 0.4, "image_reward": 0.2}
 
 
+def ensemble_fid_is_verifier(inception_run_fn,
+                             real_features: jnp.ndarray,
+                             is_weight: float = 10.0,
+                             proj_dim: int = 256,
+                             seed: int = 7):
+    """On-device -FID + is_weight * IS ensemble (BASELINE.md workload 4's
+    "FID/IS verifier ensemble").
+
+    ``inception_run_fn(images_unit [B,H,W,C] in [0,1]) -> (feats [B,D],
+    logits [B,K])`` — one Inception forward feeds both terms. The Fréchet
+    term runs on a ``proj_dim``-d random projection of the D-d features: a
+    DxD eigh inside the vmapped search scan would dominate the run, and the
+    projection preserves candidate *ordering* (Johnson-Lindenstrauss),
+    which is all a verifier needs.
+    """
+    from ..metrics.frechet import frechet_distance_jax
+    from ..metrics.is_score import is_score_jax
+
+    real = jnp.asarray(real_features)
+    d_in = real.shape[-1]
+    proj = (jax.random.normal(jax.random.PRNGKey(seed), (d_in, proj_dim))
+            / jnp.sqrt(d_in))
+    eye = jnp.eye(proj_dim)
+    rf = real @ proj
+    mu_r = rf.mean(axis=0)
+    cov_r = jnp.cov(rf, rowvar=False) + 1e-4 * eye
+
+    def score(images: jnp.ndarray) -> jnp.ndarray:
+        feats, logits = inception_run_fn(to_unit_range(images))
+        f = feats @ proj
+        mu_f = f.mean(axis=0)
+        cov_f = jnp.cov(f, rowvar=False) + 1e-4 * eye
+        fid = frechet_distance_jax(mu_r, cov_r, mu_f, cov_f)
+        is_v = is_score_jax(jax.nn.softmax(logits, axis=-1))
+        return -fid + is_weight * is_v
+
+    return score
+
+
 # ---------------------------------------------------------------------------
 # Classifier-based (BASELINE.md workload 3)
 

@@ -90,10 +90,13 @@ class Trainer:
         path = os.path.join(self.cfg.save_weight_dir, name)
         try:
             self.state = restore_checkpoint(path)
-        except Exception:
-            # weights-only checkpoint (e.g. save_params output from
-            # finetune-t) — wrap in a params-only state, mirroring
-            # runner.load_eval_params
+        except (KeyError, TypeError):
+            # A params-only checkpoint (e.g. save_params output from
+            # finetune-t) restores as a bare pytree, so the TrainState
+            # field access raises KeyError/TypeError — wrap it in a
+            # params-only state, mirroring runner.load_eval_params. Any
+            # other failure (missing path, corrupt/partial full
+            # checkpoint) propagates with its real cause.
             from ..cli.runner import init_params
             from .checkpoint import restore_params
             from .loop import TrainState

@@ -50,6 +50,10 @@ class DiffusionCfg:
     sampler: str = "ddpm"       # "ddpm" (ancestral) | "ddim" | "dpm" | "picard"
     ddim_steps: int = 50        # step/grid budget for ddim, dpm, picard
     ddim_eta: float = 0.0
+    # clip the per-step x0-hat to [-1,1] in the ancestral sampler — bounds
+    # the chain on long extrapolative-CFG runs (T=3000, w=1.8), where the
+    # unclipped state can grow without bound (core/process.p_sample_step)
+    clip_denoised: bool = False
 
 
 @dataclasses.dataclass
@@ -71,9 +75,11 @@ class TrainCfg:
     fid_num_real_samples: int = 5000
     clip_num_real_samples: int = 5000
     # metric-tracked sampling against a val split every `eval_freq` epochs
-    # during training (`Train.py:516-536,719-803`); off by default because it
-    # costs a full sampler run per eval
-    track_metrics: bool = False
+    # during training (`Train.py:516-536,719-803`). None = auto: ON for
+    # every dataset except the test-only "synthetic" blobs — matching the
+    # reference, which always evaluates during training. Set false to skip
+    # the per-eval sampler cost explicitly.
+    track_metrics: Optional[bool] = None
     # checkpoint saves run in a background thread (Orbax async); the
     # reference blocks on torch.save each epoch
     async_checkpoint: bool = True
@@ -127,6 +133,21 @@ class SearchCfg:
     injection_steps: Tuple[int, ...] = (400,)
     delta_f: int = 50
     gradient_lr: float = 0.01
+    # verifier=classifier: weights-only checkpoint of a SmallCNN (path
+    # relative to save_weight_dir, or absolute); architecture is inferred
+    # from the checkpoint (models/classifier.py:load_classifier)
+    classifier_ckpt: Optional[str] = None
+    # class the classifier verifier rewards; None = the sampler's own label
+    # cycle for conditional models (required for unconditional ones)
+    target_label: Optional[int] = None
+    # verifier=clip: .npy of precomputed text features [D] or [B,D]
+    # (encode once with metrics.clip.encode_texts; None scores mean image-
+    # feature norm as the no-prompt quality proxy, `verifier.py:163-188`)
+    clip_text_features: Optional[str] = None
+    # verifier=ensemble: score = -FID(vs real stats) + is_weight * IS,
+    # all on-device inside the jitted search
+    ensemble_is_weight: float = 10.0
+    ensemble_num_real: int = 64         # real images anchoring the FID stats
 
 
 @dataclasses.dataclass
