@@ -121,28 +121,59 @@ def train_diffusion(name, steps, batch, seed=0):
     state = create_train_state(params, tx, ema=True)
     step_fn = make_train_step(
         lambda p, *aa, **kw: model.apply(p, *aa, **kw), sched, tx,
-        conditional=conditional, ema_decay=0.999)
+        conditional=conditional, ema_decay=0.999, donate=False)
+
+    # TPU-shaped training: the dataset lives on device (uploaded once, in
+    # <=64MB pieces — the relay bounds request sizes) and steps run in
+    # lax.scan chunks of 500, so 3000 steps = 6 device launches instead of
+    # 3000 relay round-trips.
+    def chunked_put(arr):
+        rows = max(1, (64 << 20) // max(1, arr[0].nbytes))
+        parts = [jax.device_put(arr[i:i + rows])
+                 for i in range(0, len(arr), rows)]
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    xs = chunked_put(images)
+    ys = jnp.asarray(labels) if conditional else None
+
+    import functools
+
+    from jax import lax
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fit_chunk(state, xs, ys, idx_chunk, keys_chunk):
+        def body(st, inp):
+            bidx, skey = inp
+            batch_d = {"image": jnp.take(xs, bidx, axis=0)}
+            if ys is not None:
+                batch_d["label"] = jnp.take(ys, bidx, axis=0)
+            st, metrics = step_fn(st, batch_d, skey)
+            return st, metrics["loss"]
+        return lax.scan(body, state, (idx_chunk, keys_chunk))
 
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
     loss0 = lossN = None
-    for i in range(steps):
-        idx = rng.integers(0, len(images), size=batch)
-        batch_d = {"image": jnp.asarray(images[idx])}
-        if conditional:
-            batch_d["label"] = jnp.asarray(labels[idx])
-        key, skey = jax.random.split(key)
-        state, metrics = step_fn(state, batch_d, skey)
-        if i == 0:
-            loss0 = float(metrics["loss"])
+    # bound per-launch device time: the 64x64 conditional model (attention
+    # at every down stage, 4096 tokens at stage 0) runs minutes per 500
+    # steps, which trips the TPU-worker watchdog
+    chunk = 500 if a["img"] <= 32 else 100
+    done = 0
+    while done < steps:
+        n_now = min(chunk, steps - done)
+        idx_chunk = jnp.asarray(
+            rng.integers(0, len(images), size=(n_now, batch)), jnp.int32)
+        keys_chunk = jax.random.split(jax.random.fold_in(key, done), n_now)
+        state, losses = fit_chunk(state, xs, ys, idx_chunk, keys_chunk)
+        done += n_now
+        if loss0 is None:
+            loss0 = float(losses[0])
             note(f"{name}: step 0 loss {loss0:.4f} "
-                 f"(compile {time.time()-t0:.0f}s)")
-        if (i + 1) % 500 == 0:
-            lossN = float(metrics["loss"])
-            note(f"{name}: step {i+1} loss {lossN:.4f} "
-                 f"({(i+1)/(time.time()-t0):.1f} steps/s)")
-    lossN = float(metrics["loss"])
+                 f"(first chunk incl compile {time.time()-t0:.0f}s)")
+        lossN = float(losses[-1])
+        note(f"{name}: step {done} loss {lossN:.4f} "
+             f"({done/(time.time()-t0):.1f} steps/s)")
 
     out = os.path.join(ARTIFACTS, name)
     save_bf16(out, state.ema_params)
@@ -185,12 +216,12 @@ def train_verifier_classifier(img, seed=0):
     from itsd_tpu.models import (ClassifierConfig, save_classifier,
                                  train_classifier)
 
-    images, labels = shapes_dataset(n=4096, img_size=img, num_labels=10,
+    images, labels = shapes_dataset(n=8192, img_size=img, num_labels=10,
                                     seed=seed)
     _, params, acc = train_classifier(
         images, labels,
         ClassifierConfig(num_classes=10, ch=32, depth=3),
-        epochs=8, batch_size=256, seed=seed)
+        epochs=40, batch_size=256, seed=seed)
     name = f"classifier_shapes{img}"
     save_classifier(os.path.join(ARTIFACTS, name), params)
     with open(os.path.join(ARTIFACTS, f"{name}.json"), "w") as f:

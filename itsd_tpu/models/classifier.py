@@ -56,9 +56,12 @@ def train_classifier(images, labels, cfg: ClassifierConfig = None,
                      epochs: int = 5, batch_size: int = 128,
                      lr: float = 1e-3, seed: int = 0):
     """Train SmallCNN on (images [N,H,W,C] in [-1,1] or [0,1], labels [N]).
-    Returns (logit_fn, params, final_accuracy). Small enough to run in the
-    test suite; at CIFAR scale reaches usable verifier accuracy in a few
-    epochs."""
+    Returns (logit_fn, params, final_accuracy).
+
+    TPU-shaped: the whole dataset is device-resident and every step of every
+    epoch runs inside ONE `lax.scan` launch (steps gather their batch by
+    index on device) — a per-step Python loop would pay a host->TPU relay
+    round-trip per step, which dominates at this model size."""
     import numpy as np
 
     cfg = cfg or ClassifierConfig()
@@ -71,33 +74,45 @@ def train_classifier(images, labels, cfg: ClassifierConfig = None,
     params = model.init(jax.random.PRNGKey(seed),
                         jnp.zeros((2,) + images.shape[1:]))
     tx = optax.adamw(lr)
-    opt_state = tx.init(params)
-
-    @jax.jit
-    def step(params, opt_state, x, y):
-        def loss_fn(p):
-            logits = model.apply(p, x)
-            return optax.softmax_cross_entropy_with_integer_labels(
-                logits, y).mean()
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
 
     rng = np.random.default_rng(seed)
     n = len(images)
-    for _ in range(epochs):
-        order = rng.permutation(n)
-        for i in range(0, n - batch_size + 1, batch_size):
-            idx = order[i:i + batch_size]
-            params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(images[idx]),
-                jnp.asarray(labels[idx]))
+    nb = max(1, n // batch_size)
+    idx = np.stack([rng.permutation(n)[:nb * batch_size].reshape(
+        nb, batch_size) for _ in range(epochs)]).reshape(-1, batch_size)
+
+    # the dataset is an ARGUMENT of the jitted fit, not a closure capture —
+    # closed-over arrays would be inlined as HLO constants (hundreds of MB
+    # in the compile payload)
+    x_dev = jax.device_put(images)
+    y_dev = jax.device_put(labels)
+
+    @jax.jit
+    def fit(params, xs, ys, idx):
+        def step(carry, batch_idx):
+            params, opt_state = carry
+            x = jnp.take(xs, batch_idx, axis=0)
+            y = jnp.take(ys, batch_idx, axis=0)
+
+            def loss_fn(p):
+                logits = model.apply(p, x)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y).mean()
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, _), losses = jax.lax.scan(
+            step, (params, tx.init(params)), idx)
+        return params, losses
+
+    params, _ = fit(params, x_dev, y_dev, jnp.asarray(idx, jnp.int32))
 
     @jax.jit
     def logit_fn(x):
         return model.apply(params, x)
 
-    preds = np.asarray(jnp.argmax(logit_fn(jnp.asarray(images[:512])), -1))
+    preds = np.asarray(jnp.argmax(logit_fn(x_dev[:512]), -1))
     acc = float((preds == labels[:512]).mean())
     return logit_fn, params, acc
 
