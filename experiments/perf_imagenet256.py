@@ -58,29 +58,35 @@ def measure_sampler(attn_impl: str, batch: int, probe_t: int,
     x = jnp.zeros((batch, 256, 256, 3), jnp.float32)
     t = jnp.zeros((batch,), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), x, t)
-    eps_fn = lambda xx, tt: model.apply(params, xx, tt)
-    run = jax.jit(lambda n, k: sample(sched, eps_fn, n, k))
+
+    # params are a jit ARGUMENT: at this scale (~100M params) closing over
+    # them inlines them as HLO constants and blows the relay's compile-
+    # payload limit (HTTP 413)
+    @jax.jit
+    def run(p, n, k):
+        return sample(sched, lambda xx, tt: model.apply(p, xx, tt), n, k)
+
     noise = jax.random.normal(jax.random.PRNGKey(1), x.shape)
 
     note(f"[{attn_impl}] compiling {probe_t}-step 256x256 sampler "
          f"(batch={batch}) ...")
     t0 = time.perf_counter()
-    run(noise, jax.random.PRNGKey(2)).block_until_ready()
+    run(params, noise, jax.random.PRNGKey(2)).block_until_ready()
     compile_s = time.perf_counter() - t0
     note(f"[{attn_impl}] first run {compile_s:.1f}s")
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        run(noise, jax.random.PRNGKey(3 + i)).block_until_ready()
+        run(params, noise, jax.random.PRNGKey(3 + i)).block_until_ready()
         times.append(time.perf_counter() - t0)
     best = min(times)
     ms_per_eval = best / probe_t * 1e3
 
     # per-forward FLOPs from XLA's own cost model -> MFU at busy time
-    eps_step = jax.jit(lambda xx, tt: eps_fn(xx, tt))
+    eps_step = jax.jit(lambda p, xx, tt: model.apply(p, xx, tt))
     flops = None
     try:
-        ca = eps_step.lower(x, t).compile().cost_analysis()
+        ca = eps_step.lower(params, x, t).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0)) or None
