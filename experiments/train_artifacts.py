@@ -43,6 +43,15 @@ ARCHS = {
     # ModelCondition.py layout) so run_search can load this checkpoint
     "shapes64_cond": dict(img=64, ch=64, ch_mult=(1, 2, 2, 2), attn=(),
                           num_res_blocks=2, dropout=0.1, num_labels=10),
+    # The reference's flagship STRUCTURE (config/config.yaml:17-31):
+    # img 256, ch_mult (1,2,3,4), attention at stage 2 = 64x64 feature map
+    # = 4096 tokens — exactly the token count where the reference's
+    # materialised score matrix is its scaling wall. ch=32 keeps the
+    # committed bf16 artifact small; the ch=128 flagship perf numbers live
+    # in docs/results/imagenet256.json.
+    "shapes256_uncond": dict(img=256, ch=32, ch_mult=(1, 2, 3, 4),
+                             attn=(2,), num_res_blocks=2, dropout=0.1,
+                             num_labels=None),
 }
 TRAIN_T = 1000
 
@@ -97,8 +106,11 @@ def train_diffusion(name, steps, batch, seed=0):
 
     a = ARCHS[name]
     model, conditional = build_unet(name)
+    n_data = {True: 8192, False: 4096}[a["img"] <= 32]
+    if a["img"] >= 128:
+        n_data = 1024  # 256x256 f32: ~0.8 GB on device / host
     images, labels = shapes_dataset(
-        n=8192 if a["img"] <= 32 else 4096, img_size=a["img"],
+        n=n_data, img_size=a["img"],
         num_labels=a["num_labels"] or 10, seed=seed)
     sched = linear_schedule(1e-4, 0.02, TRAIN_T)
 
@@ -127,13 +139,9 @@ def train_diffusion(name, steps, batch, seed=0):
     # <=64MB pieces — the relay bounds request sizes) and steps run in
     # lax.scan chunks of 500, so 3000 steps = 6 device launches instead of
     # 3000 relay round-trips.
-    def chunked_put(arr):
-        rows = max(1, (64 << 20) // max(1, arr[0].nbytes))
-        parts = [jax.device_put(arr[i:i + rows])
-                 for i in range(0, len(arr), rows)]
-        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    from itsd_tpu.utils import chunked_device_put
 
-    xs = chunked_put(images)
+    xs = chunked_device_put(images)
     ys = jnp.asarray(labels) if conditional else None
 
     import functools
@@ -157,8 +165,9 @@ def train_diffusion(name, steps, batch, seed=0):
     loss0 = lossN = None
     # bound per-launch device time: the 64x64 conditional model (attention
     # at every down stage, 4096 tokens at stage 0) runs minutes per 500
-    # steps, which trips the TPU-worker watchdog
-    chunk = 500 if a["img"] <= 32 else 100
+    # steps, which trips the TPU-worker watchdog; 256x256 steps are ~10x a
+    # 64x64 step again
+    chunk = 500 if a["img"] <= 32 else (100 if a["img"] <= 64 else 50)
     done = 0
     while done < steps:
         n_now = min(chunk, steps - done)
@@ -216,16 +225,21 @@ def train_verifier_classifier(img, seed=0):
     from itsd_tpu.models import (ClassifierConfig, save_classifier,
                                  train_classifier)
 
-    images, labels = shapes_dataset(n=8192, img_size=img, num_labels=10,
+    # big images: fewer device-resident samples, one more downsampling
+    # stage so GAP still sees a small map
+    n = 8192 if img <= 64 else 2048
+    depth = 3 if img <= 64 else 4
+    batch = 256 if img <= 64 else 64
+    images, labels = shapes_dataset(n=n, img_size=img, num_labels=10,
                                     seed=seed)
     _, params, acc = train_classifier(
         images, labels,
-        ClassifierConfig(num_classes=10, ch=32, depth=3),
-        epochs=40, batch_size=256, seed=seed)
+        ClassifierConfig(num_classes=10, ch=32, depth=depth),
+        epochs=40, batch_size=batch, seed=seed)
     name = f"classifier_shapes{img}"
     save_classifier(os.path.join(ARTIFACTS, name), params)
     with open(os.path.join(ARTIFACTS, f"{name}.json"), "w") as f:
-        json.dump({"num_classes": 10, "ch": 32, "depth": 3,
+        json.dump({"num_classes": 10, "ch": 32, "depth": depth,
                    "train_acc_512": acc, "dataset": f"shapes{img}"}, f,
                   indent=1)
     note(f"{name}: saved (train acc {acc:.3f})")
@@ -236,8 +250,10 @@ def main():
     ap.add_argument("--only", default=None)
     ap.add_argument("--steps32", type=int, default=3000)
     ap.add_argument("--steps64", type=int, default=3000)
+    ap.add_argument("--steps256", type=int, default=3000)
     ap.add_argument("--batch32", type=int, default=256)
     ap.add_argument("--batch64", type=int, default=64)
+    ap.add_argument("--batch256", type=int, default=16)
     args = ap.parse_args()
 
     from itsd_tpu.utils import enable_compilation_cache
@@ -251,9 +267,18 @@ def main():
             "shapes32_uncond", args.steps32, args.batch32),
         "shapes64_cond": lambda: train_diffusion(
             "shapes64_cond", args.steps64, args.batch64),
+        # flagship-structure artifacts are opt-in (--only): ~20 min on-chip
+        "classifier_shapes256": lambda: train_verifier_classifier(256),
+        "shapes256_uncond": lambda: train_diffusion(
+            "shapes256_uncond", args.steps256, args.batch256),
     }
+    default_jobs = {"classifier_shapes32", "classifier_shapes64",
+                    "shapes32_uncond", "shapes64_cond"}
     for name, job in jobs.items():
-        if args.only and name != args.only:
+        if args.only:
+            if name != args.only:
+                continue
+        elif name not in default_jobs:
             continue
         job()
 

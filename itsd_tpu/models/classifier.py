@@ -83,8 +83,9 @@ def train_classifier(images, labels, cfg: ClassifierConfig = None,
 
     # the dataset is an ARGUMENT of the jitted fit, not a closure capture —
     # closed-over arrays would be inlined as HLO constants (hundreds of MB
-    # in the compile payload)
-    x_dev = jax.device_put(images)
+    # in the compile payload); uploaded in relay-bounded pieces
+    from ..utils.transfer import chunked_device_put
+    x_dev = chunked_device_put(images)
     y_dev = jax.device_put(labels)
 
     @jax.jit

@@ -248,3 +248,17 @@ def test_threaded_prefetch_early_exit_stops_producer():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_chunked_device_put_piecewise_equals_whole():
+    """Relay-bounded piecewise upload must be bit-identical to one
+    device_put, including non-divisible chunk tails and the small-array
+    single-put fast path."""
+    from itsd_tpu.utils import chunked_device_put
+
+    a = np.random.default_rng(0).normal(size=(37, 5, 3)).astype(np.float32)
+    out = chunked_device_put(a, max_bytes=4 * 5 * 3 * 4)  # 4 rows/piece
+    assert np.array_equal(np.asarray(out), a)
+    assert np.array_equal(np.asarray(chunked_device_put(a)), a)
+    empty = np.zeros((0, 7), np.float32)
+    assert np.asarray(chunked_device_put(empty)).shape == (0, 7)
