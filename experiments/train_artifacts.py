@@ -108,7 +108,7 @@ def train_diffusion(name, steps, batch, seed=0):
     model, conditional = build_unet(name)
     n_data = {True: 8192, False: 4096}[a["img"] <= 32]
     if a["img"] >= 128:
-        n_data = 1024  # 256x256 f32: ~0.8 GB on device / host
+        n_data = 2048  # 256x256 f32: ~1.6 GB on device / host
     images, labels = shapes_dataset(
         n=n_data, img_size=a["img"],
         num_labels=a["num_labels"] or 10, seed=seed)
@@ -210,8 +210,21 @@ def train_diffusion(name, steps, batch, seed=0):
         eps_fn = lambda xx, tt: model.apply(ema_f32, xx, tt)
     grid_noise = jax.random.normal(jax.random.PRNGKey(7),
                                    (16, a["img"], a["img"], 3))
-    imgs = jax.jit(lambda n, k: core_sample(sched, eps_fn, n, k))(
-        grid_noise, jax.random.PRNGKey(8))
+    if a["img"] >= 128:
+        # one 1000-step launch at 256x256 runs ~a minute of device time
+        # and trips the TPU-worker watchdog — chain 250-step segments
+        from itsd_tpu.core import denoise_segment
+        seg = 250
+        x = grid_noise
+        for hi in range(TRAIN_T, 0, -seg):
+            lo = max(0, hi - seg)
+            x = jax.jit(lambda xx, kk, h=hi, l=lo: denoise_segment(
+                sched, eps_fn, xx, kk, h, l))(
+                    x, jax.random.PRNGKey(800 + hi))
+        imgs = x
+    else:
+        imgs = jax.jit(lambda n, k: core_sample(sched, eps_fn, n, k))(
+            grid_noise, jax.random.PRNGKey(8))
     save_image_grid(np.asarray(imgs),
                     os.path.join(REPO, "docs", "results",
                                  f"artifact_{name}_sampled.png"), nrow=4)
