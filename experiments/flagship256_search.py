@@ -1,0 +1,112 @@
+"""Inference-time search at the reference's flagship operating point:
+256x256, UNet with attention at stage 2 (64x64 feature map = 4096 tokens,
+where the reference's materialised score matrix is its scaling wall —
+/root/reference/Diffusion/Model.py:152-161, config/config.yaml:17-31).
+
+Runs best-of-N random search through the PRODUCT path (cli.runner.run_search
+— the same jitted chunked program `python -m itsd_tpu.cli.main search`
+drives) on the TRAINED shapes256_uncond artifact, scored by the trained
+256x256 SmallCNN classifier (target-class log-probability). This is the
+paper's search-axis claim executed at the resolution the reference only
+ever configured, never demonstrated.
+
+Usage: python experiments/flagship256_search.py [--candidates 16]
+Writes: docs/results/flagship256_search.json + winner grid PNG.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--candidates", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=2,
+                    help="candidates per device launch (a 1000-step 256x256 "
+                         "launch of chunk*batch rows must stay under the "
+                         "TPU-worker watchdog, ~1 min device time)")
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--target", type=int, default=3)
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "docs", "results", "flagship256_search.json"))
+    args = ap.parse_args()
+
+    from itsd_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    import experiments.train_artifacts as ta
+    from itsd_tpu.cli.runner import run_search
+    from itsd_tpu.utils.config import load_config
+
+    a = ta.ARCHS["shapes256_uncond"]
+    overrides = [
+        "data.dataset=synthetic", f"data.img_size={a['img']}",
+        f"model.channel={a['ch']}",
+        f"model.channel_mult={list(a['ch_mult'])}",
+        f"model.attn={list(a['attn'])}",
+        f"model.num_res_blocks={a['num_res_blocks']}",
+        "model.time_embed=functional", "model.dtype=bfloat16",
+        f"diffusion.T={ta.TRAIN_T}",
+        f"save_weight_dir={ta.ARTIFACTS}",
+        "test_load_weight=shapes256_uncond",
+        "search.algorithm=random",
+        f"search.n_candidates={args.candidates}",
+        f"search.candidate_chunk={args.chunk}",
+        "search.verifier=classifier",
+        f"search.classifier_ckpt={os.path.join(ta.ARTIFACTS, 'classifier_shapes256')}",
+        f"search.target_label={args.target}",
+        f"train.eval_batch_size={args.batch}",
+        f"sampled_dir={os.path.join(REPO, 'sampled', 'flagship256_search')}",
+        "nrow=2",
+    ]
+    cfg = load_config(None, overrides)
+
+    def note(m):
+        print(f"[f256] {m}", file=sys.stderr, flush=True)
+
+    note(f"best-of-{args.candidates} random search, trained 256x256 model, "
+         f"classifier verifier (target class {args.target})")
+    t0 = time.time()
+    out = run_search(cfg)
+    wall = time.time() - t0
+    scores = np.asarray(out["result"].history["scores"], np.float64)
+    evals = args.candidates * args.batch * ta.TRAIN_T
+    rec = {
+        "workload": ("flagship 256x256: best-of-%d random search, T=1000 "
+                     "ancestral, trained shapes256_uncond (attention at "
+                     "4096 tokens), classifier verifier" % args.candidates),
+        "model": f"ch={a['ch']} mult={a['ch_mult']} attn={a['attn']} img=256",
+        "weights": "trained EMA (artifacts/shapes256_uncond, shapes256)",
+        "verifier": ("trained SmallCNN depth-4 "
+                     "(artifacts/classifier_shapes256): mean target-class "
+                     "log-prob"),
+        "sampler": "ddpm", "T": ta.TRAIN_T,
+        "n_candidates": args.candidates, "per_candidate_batch": args.batch,
+        "device": "TPU v5 lite0",
+        "wall_s_incl_compile": wall,
+        "model_evals": evals,
+        "best_score": out["best_score"],
+        "candidate_score_stats": {
+            "median": float(np.median(scores)),
+            "min": float(scores.min()), "max": float(scores.max()),
+        },
+    }
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=1)
+    note(f"best {out['best_score']:.4f} vs median "
+         f"{rec['candidate_score_stats']['median']:.4f} ({wall:.1f}s)")
+    note(f"-> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -159,7 +159,19 @@ def train_diffusion(name, steps, batch, seed=0):
             return st, metrics["loss"]
         return lax.scan(body, state, (idx_chunk, keys_chunk))
 
-    rng = np.random.default_rng(seed)
+    # A wedged relay stream or watchdog crash must cost one chunk, not the
+    # whole run: full-state checkpoint every ~1000 steps, resumable.
+    from itsd_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    resume_path = os.path.join(ARTIFACTS, f"{name}.resume")
+    start = 0
+    if os.path.isdir(resume_path):
+        try:
+            state = restore_checkpoint(resume_path, state)
+            start = int(jax.device_get(state.step))
+            note(f"{name}: resuming from step {start}")
+        except Exception as e:
+            note(f"{name}: resume failed ({e}); starting fresh")
+
     key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
     loss0 = lossN = None
@@ -168,24 +180,40 @@ def train_diffusion(name, steps, batch, seed=0):
     # steps, which trips the TPU-worker watchdog; 256x256 steps are ~10x a
     # 64x64 step again
     chunk = 500 if a["img"] <= 32 else (100 if a["img"] <= 64 else 50)
-    done = 0
+    done = start
+    last_saved = start
     while done < steps:
         n_now = min(chunk, steps - done)
+        # per-chunk reseed (not a sequential stream) so a resumed run draws
+        # the same batches the uninterrupted run would have
         idx_chunk = jnp.asarray(
-            rng.integers(0, len(images), size=(n_now, batch)), jnp.int32)
+            np.random.default_rng(seed * 7919 + done).integers(
+                0, len(images), size=(n_now, batch)), jnp.int32)
         keys_chunk = jax.random.split(jax.random.fold_in(key, done), n_now)
         state, losses = fit_chunk(state, xs, ys, idx_chunk, keys_chunk)
         done += n_now
         if loss0 is None:
             loss0 = float(losses[0])
-            note(f"{name}: step 0 loss {loss0:.4f} "
+            note(f"{name}: step {start} loss {loss0:.4f} "
                  f"(first chunk incl compile {time.time()-t0:.0f}s)")
         lossN = float(losses[-1])
         note(f"{name}: step {done} loss {lossN:.4f} "
-             f"({done/(time.time()-t0):.1f} steps/s)")
+             f"({(done-start)/(time.time()-t0):.1f} steps/s)")
+        if done - last_saved >= 1000 and done < steps:
+            import shutil
+            tmp = resume_path + ".new"
+            shutil.rmtree(tmp, ignore_errors=True)
+            save_checkpoint(tmp, jax.device_get(state))
+            shutil.rmtree(resume_path, ignore_errors=True)
+            os.replace(tmp, resume_path)
+            last_saved = done
+            note(f"{name}: resume checkpoint @ {done}")
 
     out = os.path.join(ARTIFACTS, name)
     save_bf16(out, state.ema_params)
+    import shutil
+    shutil.rmtree(resume_path, ignore_errors=True)
+    shutil.rmtree(resume_path + ".new", ignore_errors=True)
     meta = {"arch": {k: list(v) if isinstance(v, tuple) else v
                      for k, v in a.items()},
             "train_T": TRAIN_T, "steps": steps, "batch": batch,
