@@ -1,0 +1,149 @@
+"""Single-step ViT train/sampler MFU probe + backward-pass diagnosis.
+
+Why: XLA's `cost_analysis()` on a `lax.scan` program reports the loop body
+ONCE (not x trip-count), so MFU derived from a scan chunk understates by
+the chunk length — this probe jits ONE train step / ONE denoise eval so
+the cost model and the wall clock measure the same thing.
+
+It also A/Bs the hypothesis for the ViT backward being slow relative to
+its forward (sampler ~60% MFU vs train ~20% from the training-run wall
+clocks): activation dropout draws threefry bits for [B,N,E] and
+[B,N,4E] tensors 3x per block — vector-unit work with no MXU content
+that the UNet (dropout only on one [B,H,W,C] tensor per ResBlock) barely
+notices. Variants: dropout=0.1 (as trained), dropout=0.0, and dropout=0.1
+with the cheaper 'rbg' PRNG.
+
+Usage: python experiments/vit_mfu_probe.py [--batch 256]
+Writes: docs/results/vit_mfu.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RESULTS = os.path.join(REPO, "docs", "results")
+PEAK = 197e12
+
+
+def note(m):
+    print(f"[vit-mfu] {m}", file=sys.stderr, flush=True)
+
+
+def flops_of(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)) or None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    args = ap.parse_args()
+
+    from itsd_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from experiments.vit_shapes import VIT, TRAIN_T, build_vit
+    from itsd_tpu.core import linear_schedule
+    from itsd_tpu.models import ViTConfig, ViT
+    from itsd_tpu.train import (OptimizerConfig, create_train_state,
+                                make_optimizer, make_train_step)
+
+    sched = linear_schedule(1e-4, 0.02, TRAIN_T)
+    B = args.batch
+    img = VIT["img"]
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (B, img, img, 3))
+    out = {"batch": B, "model": dict(VIT), "peak_tflops": PEAK / 1e12}
+
+    def time_step(model, key, tag):
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, img, img, 3)),
+                            jnp.zeros((2,), jnp.int32))
+        tx = make_optimizer(OptimizerConfig(lr=2e-4, epochs=4,
+                                            steps_per_epoch=32,
+                                            ema_decay=0.999))
+        state = create_train_state(params, tx, ema=True)
+        step = jax.jit(make_train_step(
+            lambda p, *aa, **kw: model.apply(p, *aa, **kw), sched, tx,
+            ema_decay=0.999, donate=False))
+        batch_d = {"image": x0}
+        lowered = step.lower(state, batch_d, key)
+        compiled = lowered.compile()
+        fl = flops_of(compiled)
+        state, m = step(state, batch_d, key)
+        jax.block_until_ready(m)
+        walls = []
+        for i in range(5):
+            k = jax.random.fold_in(key, i)
+            t0 = time.perf_counter()
+            state, m = step(state, batch_d, k)
+            jax.block_until_ready(m)
+            walls.append(time.perf_counter() - t0)
+        best = min(walls)
+        rec = {"ms_per_step": round(best * 1e3, 2),
+               "images_per_sec": round(B / best, 1),
+               "flops_per_step": fl,
+               "mfu_vs_197tflops": round(fl / best / PEAK, 3) if fl else None}
+        note(f"{tag}: {rec}")
+        return rec
+
+    # 1. as trained: dropout 0.1, threefry key
+    model = build_vit()
+    out["train_dropout0.1_threefry"] = time_step(
+        model, jax.random.PRNGKey(2), "dropout=0.1 threefry")
+
+    # 2. no dropout
+    cfg0 = ViTConfig(img_size=img, patch_size=VIT["patch_size"],
+                     embed_dim=VIT["embed_dim"], depth=VIT["depth"],
+                     num_heads=VIT["num_heads"], mlp_ratio=VIT["mlp_ratio"],
+                     dropout=0.0, attention_impl="auto", dtype="bfloat16")
+    out["train_dropout0.0"] = time_step(
+        ViT(cfg0), jax.random.PRNGKey(2), "dropout=0.0")
+
+    # 3. dropout 0.1 with the cheap non-cryptographic TPU PRNG
+    out["train_dropout0.1_rbg"] = time_step(
+        model, jax.random.key(2, impl="rbg"), "dropout=0.1 rbg")
+
+    # 4. forward-only (one denoise eval), batch 8 — the sampler's unit
+    model_f = build_vit()
+    params = model_f.init(jax.random.PRNGKey(0),
+                          jnp.zeros((2, img, img, 3)),
+                          jnp.zeros((2,), jnp.int32))
+    x8 = jax.random.normal(jax.random.PRNGKey(3), (8, img, img, 3))
+    t8 = jnp.full((8,), 500, jnp.int32)
+    fwd = jax.jit(lambda p, xx, tt: model_f.apply(p, xx, tt))
+    fl = flops_of(fwd.lower(params, x8, t8).compile())
+    jax.block_until_ready(fwd(params, x8, t8))
+    walls = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fwd(params, x8, t8))
+        walls.append(time.perf_counter() - t0)
+    best = min(walls)
+    out["forward_batch8"] = {
+        "ms_per_eval": round(best * 1e3, 3), "flops_per_eval": fl,
+        "mfu_vs_197tflops": round(fl / best / PEAK, 3) if fl else None,
+        "note": "per-launch relay dispatch inflates a single-eval wall; "
+                "the scan-amortised sampler number in vit_shapes.json is "
+                "the honest one"}
+    note(f"fwd batch8: {out['forward_batch8']}")
+
+    path = os.path.join(RESULTS, "vit_mfu.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    note(f"-> {path}")
+
+
+if __name__ == "__main__":
+    main()
