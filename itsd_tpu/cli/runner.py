@@ -52,7 +52,7 @@ def build_model(cfg: Config):
                          embed_dim=m.embed_dim, depth=m.depth,
                          num_heads=m.num_heads, mlp_ratio=m.mlp_ratio,
                          dropout=m.dropout, attention_impl=m.attention_impl,
-                         dtype=m.dtype)
+                         dtype=m.dtype, remat=m.remat)
         return ViT(vcfg), False
     conditional = m.num_labels is not None
     if conditional:
@@ -276,7 +276,12 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     logger = MetricsLogger(
         os.path.join(cfg.metrics_save_dir, "train_metrics.jsonl"),
         also_print=True)
-    key = jax.random.PRNGKey(cfg.seed)
+    if cfg.train.prng_impl == "threefry":
+        key = jax.random.PRNGKey(cfg.seed)
+    else:
+        # e.g. "rbg": TPU-native generator — cheaper dropout-mask bits
+        # (docs/PERF.md "ViT denoiser"); different stream than threefry
+        key = jax.random.key(cfg.seed, impl=cfg.train.prng_impl)
     losses = []   # device scalars; synced once at the end (not per step)
     ckpts = []
     metrics_history = []

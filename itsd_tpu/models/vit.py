@@ -30,6 +30,13 @@ class ViTConfig:
     dropout: float = 0.1
     attention_impl: str = "auto"
     dtype: str = "float32"
+    # Rematerialise each transformer block in the backward pass. The v5e
+    # trace (docs/results/mfu_vit_train.json) shows the ViT backward is
+    # HBM-bound on stored residual/LayerNorm activations (output fusions at
+    # 0.17 FLOP/byte) while the forward has MXU headroom (54% MFU) — so
+    # recomputing activations instead of storing them trades idle-MXU FLOPs
+    # for the scarce resource.
+    remat: bool = False
 
     @property
     def n_patches(self) -> int:
@@ -51,7 +58,7 @@ class TransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb=None, *, deterministic: bool = True):
+    def __call__(self, x, temb=None, deterministic: bool = True):
         B, N, E = x.shape
         H = self.num_heads
         D = E // H
@@ -108,11 +115,15 @@ class ViT(nn.Module):
         temb = nn.Dense(cfg.embed_dim, kernel_init=xavier, bias_init=zeros,
                         dtype=dtype, name="temb_proj")(temb)
 
+        block_cls = TransformerBlock
+        if cfg.remat:
+            # static_argnums: `deterministic` is a Python bool switch
+            block_cls = nn.remat(TransformerBlock, static_argnums=(3,))
         for i in range(cfg.depth):
-            x = TransformerBlock(
+            x = block_cls(
                 cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, cfg.dropout,
                 cfg.attention_impl, dtype, name=f"block_{i}")(
-                    x, temb, deterministic=deterministic)
+                    x, temb, deterministic)
 
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(dtype)
         x = nn.Dense(p * p * C, kernel_init=xavier, bias_init=zeros,

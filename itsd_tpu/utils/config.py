@@ -38,6 +38,9 @@ class ModelCfg:
     depth: int = 12
     num_heads: int = 12
     mlp_ratio: float = 4.0
+    # per-block remat: recompute activations in the ViT backward (the v5e
+    # backward is HBM-bound on stored activations — docs/PERF.md)
+    remat: bool = False
 
 
 @dataclasses.dataclass
@@ -90,6 +93,12 @@ class TrainCfg:
     # capture a jax.profiler trace of the first N train steps into
     # `<metrics_save_dir>/trace` (0 disables)
     profile_steps: int = 0
+    # PRNG implementation for the training key stream. "rbg" uses the
+    # TPU-native non-cryptographic generator — measured 28% step-throughput
+    # gain on dropout-heavy models (the ViT: threefry mask bits poison the
+    # matmul fusions, docs/PERF.md "ViT denoiser"); changes the random
+    # stream, so seeded runs are not comparable across impls
+    prng_impl: str = "threefry"
     training_load_weight: Optional[str] = None
     # representation extraction during training (TrainCondition.py:66-107);
     # 0 disables

@@ -43,6 +43,37 @@ def test_profiling_noop_context():
         pass  # no log dir -> no-op
 
 
+def test_train_prng_impl_rbg(tmp_path):
+    """train.prng_impl=rbg threads a typed rbg key through the train loop
+    (the cheap TPU generator — docs/PERF.md 'ViT denoiser')."""
+    from itsd_tpu.cli import runner
+    from itsd_tpu.utils import Config, apply_overrides
+
+    cfg = Config()
+    apply_overrides(cfg, [
+        "data.dataset=synthetic", "data.img_size=8", "model.channel=32",
+        "model.channel_mult=[1]", "model.attn=[]", "model.num_res_blocks=1",
+        "diffusion.T=4", "train.epoch=1", "train.batch_size=8",
+        "train.eval_freq=100", "train.prng_impl=rbg",
+    ])
+    cfg.save_weight_dir = str(tmp_path / "c")
+    cfg.sampled_dir = str(tmp_path / "s")
+    cfg.metrics_save_dir = str(tmp_path / "m")
+    out = runner.train(cfg, max_steps=2)
+    assert np.isfinite(out["final_loss"])
+
+
+def test_vit_remat_config_plumbing():
+    """model.remat reaches the built ViT (docs/PERF.md 'ViT denoiser')."""
+    from itsd_tpu.cli.runner import build_model
+    from itsd_tpu.utils import Config, apply_overrides
+
+    cfg = Config()
+    apply_overrides(cfg, ["model.backbone=vit", "model.remat=true"])
+    model, conditional = build_model(cfg)
+    assert model.cfg.remat is True and conditional is False
+
+
 @pytest.mark.slow
 def test_vit_backbone_pipeline(tmp_path):
     from itsd_tpu.cli import runner

@@ -140,6 +140,28 @@ def test_vit_shape(key):
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_vit_remat_parity(key):
+    """cfg.remat must change memory behaviour only: outputs and gradients
+    identical to the non-remat model (same params pytree)."""
+    x = jax.random.normal(key, (2, 16, 16, 3))
+    t = jnp.array([3, 7], dtype=jnp.int32)
+    cfgs = [ViTConfig(img_size=16, patch_size=4, embed_dim=32, depth=2,
+                      num_heads=4, dropout=0.0, remat=r)
+            for r in (False, True)]
+    models = [ViT(c) for c in cfgs]
+    params = _init(models[0], x, t)
+
+    outs, grads = [], []
+    for m in models:
+        y = m.apply(params, x, t)
+        g = jax.grad(lambda p: (m.apply(p, x, t) ** 2).sum())(params)
+        outs.append(np.asarray(y))
+        grads.append(g)
+    assert np.allclose(outs[0], outs[1], atol=1e-5)
+    for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_vit_unpatchify_roundtrip_order(key):
     """Un-patchify must invert patch-extraction spatial order: with identity
     -ish head this is checked structurally by jitting and shape only; the

@@ -167,3 +167,54 @@ def test_dp_tp_step_matches_single_device(key):
                     jax.tree.leaves(s_tp.ema_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_vit_dp_tp_step_matches_single_device(key):
+    """The dp x tp numerical-equality proof for the SECOND model family:
+    a ViT train step on a 4x2 mesh (Dense kernels sharded on 'model')
+    matches the single-device step (`parallel/mesh.py:81-100` is
+    architecture-agnostic — this pins that claim)."""
+    from itsd_tpu.models import ViT, ViTConfig
+
+    assert jax.device_count() >= 8
+    cfg = ViTConfig(img_size=8, patch_size=4, embed_dim=32, depth=2,
+                    num_heads=4, dropout=0.0)
+    model = ViT(cfg)
+    x = jnp.zeros((4, 8, 8, 3))
+    params = model.init(jax.random.PRNGKey(0), x,
+                        jnp.zeros((4,), jnp.int32))
+    # small lr: adam's first update is ~sign(grad)*lr, so a reduction-order
+    # sign flip on a near-zero grad perturbs a param by up to 2*lr — keep
+    # that inside the comparison tolerance
+    tx = make_optimizer(OptimizerConfig(lr=1e-5, epochs=2,
+                                        steps_per_epoch=4))
+    state = create_train_state(params, tx, ema=True)
+    step = make_train_step(
+        lambda p, *a, **kw: model.apply(p, *a, **kw), SCHED, tx,
+        donate=False)
+
+    batch = {"image": jax.random.normal(key, (16, 8, 8, 3)) * 0.5}
+    k = jax.random.PRNGKey(7)
+    s_ref, m_ref = step(state, batch, k)
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    shardings = param_sharding(state.params, mesh)
+    assert any("model" in str(s.spec) for s in jax.tree.leaves(shardings))
+    state_m = state.replace(
+        params=jax.tree.map(jax.device_put, state.params, shardings),
+        ema_params=jax.tree.map(jax.device_put, state.ema_params, shardings),
+        opt_state=jax.device_put(state.opt_state),
+    )
+    batch_m = shard_batch(batch, mesh)
+    s_tp, m_tp = step(state_m, batch_m, k)
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_tp["loss"]),
+                               rtol=1e-5)
+    # adam's eps-normalized update amplifies cross-device reduction-order
+    # noise for near-zero grads (LayerNorm scales, pos_embed) — tolerance
+    # is looser than the UNet test's on the additive term only
+    for a, b in zip(jax.tree.leaves(s_ref.params),
+                    jax.tree.leaves(s_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=5e-5)
