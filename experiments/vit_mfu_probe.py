@@ -46,6 +46,7 @@ def flops_of(compiled):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--skip-large", action="store_true")
     args = ap.parse_args()
 
     from itsd_tpu.utils import enable_compilation_cache
@@ -114,6 +115,64 @@ def main():
     # 3. dropout 0.1 with the cheap non-cryptographic TPU PRNG
     out["train_dropout0.1_rbg"] = time_step(
         model, jax.random.key(2, impl="rbg"), "dropout=0.1 rbg")
+
+    # 5./6. per-block remat: the trace (mfu_vit_train.json) shows the
+    # backward HBM-bound on stored activations; recompute trades idle-MXU
+    # FLOPs for HBM traffic
+    def vit_cfg(**kw):
+        base = dict(img_size=img, patch_size=VIT["patch_size"],
+                    embed_dim=VIT["embed_dim"], depth=VIT["depth"],
+                    num_heads=VIT["num_heads"], mlp_ratio=VIT["mlp_ratio"],
+                    dropout=VIT["dropout"], attention_impl="auto",
+                    dtype="bfloat16")
+        base.update(kw)
+        return ViTConfig(**base)
+
+    out["train_dropout0.0_remat"] = time_step(
+        ViT(vit_cfg(dropout=0.0, remat=True)), jax.random.PRNGKey(2),
+        "dropout=0.0 remat")
+    out["train_dropout0.1_rbg_remat"] = time_step(
+        ViT(vit_cfg(remat=True)), jax.random.key(2, impl="rbg"),
+        "dropout=0.1 rbg remat")
+
+    # 7. scale check: 64x64/patch-2 = 1024 tokens, embed 512, head_dim 128
+    # (flash-eligible, so the Pallas fwd+bwd kernels run in training).
+    # Tests whether transformer train MFU recovers at DiT-realistic scale.
+    if not args.skip_large:
+        big = ViTConfig(img_size=64, patch_size=2, embed_dim=512, depth=8,
+                        num_heads=4, mlp_ratio=4.0, dropout=0.0,
+                        attention_impl="auto", dtype="bfloat16")
+        Bl = 64
+        xl = jax.random.normal(jax.random.PRNGKey(4), (Bl, 64, 64, 3))
+        model_l = ViT(big)
+        params = model_l.init(jax.random.PRNGKey(0),
+                              jnp.zeros((2, 64, 64, 3)),
+                              jnp.zeros((2,), jnp.int32))
+        tx = make_optimizer(OptimizerConfig(lr=2e-4, epochs=4,
+                                            steps_per_epoch=32,
+                                            ema_decay=0.999))
+        state = create_train_state(params, tx, ema=True)
+        step = jax.jit(make_train_step(
+            lambda p, *aa, **kw: model_l.apply(p, *aa, **kw), sched, tx,
+            ema_decay=0.999, donate=False))
+        bd = {"image": xl}
+        fl = flops_of(step.lower(state, bd, jax.random.PRNGKey(2)).compile())
+        state, m = step(state, bd, jax.random.PRNGKey(2))
+        jax.block_until_ready(m)
+        walls = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            state, m = step(state, bd, jax.random.fold_in(
+                jax.random.PRNGKey(2), i))
+            jax.block_until_ready(m)
+            walls.append(time.perf_counter() - t0)
+        best = min(walls)
+        out["train_vit64_1024tok_d128_flash_nodrop"] = {
+            "img": 64, "tokens": 1024, "embed_dim": 512, "head_dim": 128,
+            "batch": Bl, "ms_per_step": round(best * 1e3, 2),
+            "flops_per_step": fl,
+            "mfu_vs_197tflops": round(fl / best / PEAK, 3) if fl else None}
+        note(f"vit64 flash: {out['train_vit64_1024tok_d128_flash_nodrop']}")
 
     # 4. forward-only (one denoise eval), batch 8 — the sampler's unit
     model_f = build_vit()
