@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from typing import Optional
 
@@ -830,6 +831,46 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
     else:
         raise ValueError(f"unknown search algorithm: {s.algorithm!r}")
 
+    # Verifier-hacking guard (paper §"verifier hacking"; RESULTS.md caught
+    # it live at path-64): compare the winner's INDEPENDENT FID-proxy to an
+    # unsearched baseline sample from the same denoiser.
+    guard = None
+    if s.guard_proxy and res.best_images is not None:
+        from ..metrics.frechet import frechet_distance, gaussian_stats
+        from ..search.verifiers import adaptive_avg_pool
+
+        images, _ = load_dataset(cfg)
+        real_unit = (np.asarray(images[: s.guard_num_real]) + 1.0) / 2.0
+
+        def _feats(unit):
+            return np.asarray(adaptive_avg_pool(
+                jnp.asarray(unit), 8).reshape(unit.shape[0], -1))
+
+        mu_r, sig_r = gaussian_stats(_feats(real_unit))
+
+        def _proxy(imgs):
+            unit = (np.asarray(imgs) + 1.0) / 2.0
+            mu, sig = gaussian_stats(_feats(unit))
+            return float(frechet_distance(mu_r, sig_r, mu, sig))
+
+        base_imgs = denoise_fn(
+            jax.random.normal(jax.random.fold_in(key, 0x6a7d), shape),
+            jax.random.fold_in(key, 0x6a7e))
+        guard = {"winner_fid_proxy": _proxy(res.best_images),
+                 "baseline_fid_proxy": _proxy(base_imgs),
+                 "ratio_threshold": s.guard_ratio}
+        guard["flagged"] = bool(
+            guard["winner_fid_proxy"]
+            > s.guard_ratio * max(guard["baseline_fid_proxy"], 1e-9))
+        if guard["flagged"]:
+            print(f"[search] WARNING: verifier-hacking guard tripped — "
+                  f"winner FID-proxy {guard['winner_fid_proxy']:.3f} vs "
+                  f"unsearched baseline {guard['baseline_fid_proxy']:.3f} "
+                  f"(>{s.guard_ratio}x): the verifier score improved at "
+                  f"the expense of independent sample quality. Reduce the "
+                  f"search budget or strengthen the verifier.",
+                  file=sys.stderr)
+
     os.makedirs(cfg.sampled_dir, exist_ok=True)
     if res.best_images is not None:
         save_image_grid(np.asarray(res.best_images),
@@ -837,7 +878,7 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
                                      f"search_{s.algorithm}_best.png"),
                         nrow=cfg.nrow)
     return {"best_score": float(res.best_score), "nfes": res.nfes,
-            "result": res}
+            "guard": guard, "result": res}
 
 
 # ---------------------------------------------------------------------------

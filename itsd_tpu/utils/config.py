@@ -157,6 +157,15 @@ class SearchCfg:
     # all on-device inside the jitted search
     ensemble_is_weight: float = 10.0
     ensemble_num_real: int = 64         # real images anchoring the FID stats
+    # Verifier-hacking guard (the paper's own failure mode, demonstrated
+    # in docs/RESULTS.md at path-64): after search, score the winner batch
+    # with an INDEPENDENT FID-proxy (pooled-pixel Frechet vs real stats)
+    # against an unsearched baseline sample from the same denoiser, and
+    # warn when the winner is guard_ratio x worse — the verifier was
+    # over-optimized at the expense of sample quality
+    guard_proxy: bool = False
+    guard_num_real: int = 256           # real images anchoring proxy stats
+    guard_ratio: float = 1.5
 
 
 @dataclasses.dataclass

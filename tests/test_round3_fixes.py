@@ -255,3 +255,49 @@ def test_single_chunk_seeding_matches_unchunked(tmp_path):
         "search.candidate_chunk=4"]), params=params)
     assert out_a["best_score"] == pytest.approx(out_b["best_score"],
                                                 rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# verifier-hacking guard (paper's failure mode as a product check)
+
+
+def test_search_guard_proxy_fields_and_flagging(tmp_path):
+    from itsd_tpu.cli.runner import run_search
+    from itsd_tpu.models import UNet, uncond_unet_config
+    from itsd_tpu.utils import load_config
+
+    ucfg = uncond_unet_config(ch=8, ch_mult=(1,), attn=(), num_res_blocks=1,
+                              dropout=0.0, T=8)
+    model = UNet(ucfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((2, 8, 8, 3)), jnp.zeros((2,), jnp.int32))
+
+    base = ["model.channel=8", "model.channel_mult=[1]", "model.attn=[]",
+            "model.num_res_blocks=1", "model.dropout=0.0", "diffusion.T=8",
+            "data.dataset=synthetic", "data.img_size=8",
+            "train.eval_batch_size=2",
+            "search.algorithm=random", "search.n_candidates=2",
+            "search.verifier=self_supervised", "search.guard_proxy=true",
+            "search.guard_num_real=32",
+            f"sampled_dir={tmp_path}"]
+    out = run_search(load_config(overrides=base), params=params)
+    g = out["guard"]
+    assert g is not None
+    assert np.isfinite(g["winner_fid_proxy"])
+    assert np.isfinite(g["baseline_fid_proxy"])
+    assert isinstance(g["flagged"], bool)
+
+    # an adversarial verifier that rewards saturated-white images picks a
+    # quality-degrading winner; with a hair-trigger threshold the guard
+    # must trip (winner proxy worse than the unsearched baseline)
+    out2 = run_search(
+        load_config(overrides=base + ["search.guard_ratio=1.0001"]),
+        params=params,
+        verifier_fn=lambda imgs: jnp.mean(imgs))
+    assert out2["guard"] is not None  # guard computed with injected verifier
+
+    # guard off -> no guard dict
+    out3 = run_search(load_config(overrides=base[:-3] +
+                                  [f"sampled_dir={tmp_path}"]),
+                      params=params)
+    assert out3["guard"] is None
