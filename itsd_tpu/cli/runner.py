@@ -715,7 +715,8 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
                 f"n_candidates={s.n_candidates}")
     n_fold = eval_bs * {"random": chunk,
                         "zero_order": s.n_neighbors,
-                        "path": s.n_paths}.get(s.algorithm, 1)
+                        "path": s.n_paths,
+                        "pruned": s.n_candidates}.get(s.algorithm, 1)
     mesh = cand_sh = None
     if n_dev > 1 and n_fold % n_dev == 0:
         mesh = make_mesh(axis_names=("data",))
@@ -809,6 +810,23 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
             {"scores": sc, "final_scores": fsc,
              "injection_points": list(steps)},
             path_search_nfes(sched.T, s.n_paths, steps, s.delta_f))
+    elif s.algorithm == "pruned":
+        from ..search import pruned_search
+        from ..search.algorithms import pruned_search_nfes
+        psched = tuple(tuple(int(v) for v in p) for p in s.prune_schedule)
+
+        @jax.jit
+        def _run(k):
+            r = pruned_search(k, sched, eps_fn, verifier_fn, shape,
+                              n_candidates=s.n_candidates,
+                              prune_schedule=psched, sharding=cand_sh)
+            return (r.best_noise, r.best_score, r.best_images,
+                    r.history["final_scores"])
+        bn, bs, bi, fsc = _run(key)
+        res = SearchResult(
+            bn, bs, bi,
+            {"scores": fsc, "prune_schedule": list(psched)},
+            pruned_search_nfes(sched.T, s.n_candidates, psched))
     elif s.algorithm == "gradient":
         init = jax.random.normal(jax.random.fold_in(key, 0), shape)
         # diffusion.sampler=dpm: differentiate through the solver chain

@@ -283,6 +283,103 @@ def path_search(
     )
 
 
+def pruned_search_nfes(T: int, n_candidates: int,
+                       prune_schedule: Sequence[Sequence[int]]) -> int:
+    """Static NFE accounting for `pruned_search` (full-denoise units)."""
+    t_prev, n_now, nfes = T, n_candidates, 0.0
+    for t_p, keep in sorted((tuple(map(int, p)) for p in prune_schedule),
+                            reverse=True):
+        nfes += n_now * (t_prev - t_p) / T   # denoise to the prune point
+        nfes += n_now / T                    # x0-hat scoring eval
+        t_prev, n_now = t_p, keep
+    nfes += n_now * t_prev / T               # survivors' final descent
+    return int(round(nfes))
+
+
+def pruned_search(
+    key: jax.Array,
+    sched: DiffusionSchedule,
+    eps_fn: EpsFn,
+    verifier_fn: VerifierFn,
+    noise_shape: Tuple[int, ...],
+    n_candidates: int = 16,
+    prune_schedule: Sequence[Sequence[int]] = ((500, 4),),
+    return_images: bool = True,
+    sharding=None,
+) -> SearchResult:
+    """Progressive candidate pruning — successive halving over noise.
+
+    Best-of-N spends ``N * T`` evals; most of that budget denoises
+    candidates that were already visibly losing early in the chain. This
+    narrows instead: start ``n_candidates`` i.i.d. noises, denoise them
+    *together* (candidates folded into the batch axis), and at each
+    ``(t, keep)`` point of ``prune_schedule`` score every candidate's
+    predicted x0-hat (one extra model eval) and keep the ``keep`` best
+    (`lax.top_k` on device). Survivors finish to t=0.
+
+    Complements `path_search` (which *forks* upward at its injection
+    points): pruning only narrows, so the trajectory distribution is
+    untouched — a pruned winner is a true ancestral sample, making this
+    safe for quality-sensitive serving. Each segment has static shapes, so
+    the whole search compiles to a fixed pipeline of scan segments.
+
+    Beyond the reference (its placeholder search couldn't express this —
+    `search_algorithm.py:305-334`); in the spirit of the paper's
+    "allocate NFE to the search axis" thesis.
+    """
+    sched_pairs = sorted((tuple(map(int, p)) for p in prune_schedule),
+                         reverse=True)
+    n_now = int(n_candidates)
+    for t_p, keep in sched_pairs:
+        assert 0 < t_p < sched.T, (t_p, sched.T)
+        assert 0 < keep <= n_now, (
+            f"prune_schedule keep={keep} must be in (0, {n_now}]")
+        n_now = keep
+
+    noise_shape = tuple(noise_shape)
+    shard = (lambda a: jax.lax.with_sharding_constraint(a, sharding)
+             if sharding is not None else a)
+    k0, key = jax.random.split(key)
+    n_now = int(n_candidates)
+    x = jax.random.normal(k0, (n_now,) + noise_shape)
+    x = shard(x.reshape((-1,) + noise_shape[1:]))
+    per_cand = lambda a, n: a.reshape((n,) + noise_shape)
+
+    score_log = []
+    t_prev = sched.T
+    for t_p, keep in sched_pairs:
+        kd, key = jax.random.split(key)
+        x = denoise_segment(sched, eps_fn, x, kd, t_from=t_prev, t_to=t_p)
+        tb = jnp.full((x.shape[0],), t_p - 1, dtype=jnp.int32)
+        eps = eps_fn(x, tb)
+        x0_hat = jnp.clip(predict_x0_from_eps(sched, x, tb, eps), -1, 1)
+        scores = jax.vmap(verifier_fn)(per_cand(x0_hat, n_now))
+        score_log.append(scores)
+        _, top_idx = lax.top_k(_nan_to_neg_inf(scores), keep)
+        x = per_cand(x, n_now)[top_idx]
+        n_now = keep
+        # survivors re-fold; resharding only helps while n_now*B still
+        # divides the mesh — with_sharding_constraint handles either way
+        x = shard(x.reshape((-1,) + noise_shape[1:]))
+        t_prev = t_p
+
+    kf, _ = jax.random.split(key)
+    x = denoise_segment(sched, eps_fn, x, kf, t_from=t_prev, t_to=0,
+                        clip_output=True)
+    finals = per_cand(x, n_now)
+    final_scores = jax.vmap(verifier_fn)(finals)
+    best = jnp.argmax(_nan_to_neg_inf(final_scores))
+    return SearchResult(
+        best_noise=finals[best],
+        best_score=final_scores[best],
+        best_images=finals[best] if return_images else None,
+        history={"prune_scores": score_log,
+                 "final_scores": final_scores,
+                 "prune_schedule": sched_pairs},
+        nfes=pruned_search_nfes(sched.T, n_candidates, sched_pairs),
+    )
+
+
 def gradient_search(
     key: jax.Array,
     initial_noise: jnp.ndarray,

@@ -125,7 +125,7 @@ class DataCfg:
 
 @dataclasses.dataclass
 class SearchCfg:
-    algorithm: str = "random"           # random|zero_order|path|gradient
+    algorithm: str = "random"     # random|zero_order|path|pruned|gradient
     verifier: str = "oracle"            # oracle|self_supervised|aesthetic|classifier|ensemble
     n_candidates: int = 4
     # Random search: candidates evaluated per device launch (None = all at
@@ -141,6 +141,10 @@ class SearchCfg:
     n_active: int = 2
     injection_steps: Tuple[int, ...] = (400,)
     delta_f: int = 50
+    # algorithm=pruned: ((t, keep), ...) — denoise all n_candidates
+    # together, score x0-hat at each t and keep the top `keep`
+    # (successive halving over noise; `[[500,4]]` on the CLI)
+    prune_schedule: Tuple = ((500, 4),)
     gradient_lr: float = 0.01
     # verifier=classifier: weights-only checkpoint of a SmallCNN (path
     # relative to save_weight_dir, or absolute); architecture is inferred

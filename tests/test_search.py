@@ -226,3 +226,58 @@ def test_selection_is_nan_safe(key):
     res = random_search(key, (1, 4, 4, 3), denoise, nanny_verifier,
                         n_candidates=10)
     assert np.isfinite(float(res.best_score))
+
+
+def test_pruned_search_runs_and_narrows(key):
+    from itsd_tpu.search import pruned_search
+    from itsd_tpu.search.algorithms import pruned_search_nfes
+
+    res = pruned_search(key, SCHED, _zero_eps, _target_verifier,
+                        noise_shape=SHAPE, n_candidates=8,
+                        prune_schedule=((5, 4), (3, 2)))
+    assert res.best_images.shape == SHAPE
+    assert res.history["final_scores"].shape == (2,)     # 2 survivors
+    assert [s.shape for s in res.history["prune_scores"]] == [(8,), (4,)]
+    assert float(res.best_score) == float(res.history["final_scores"].max())
+    assert np.isfinite(np.asarray(res.best_images)).all()
+    # NFE accounting: 8 cands T=8: 8*(8-5)/8 + 8/8 + 4*(5-3)/8 + 4/8 + 2*3/8
+    want = 8 * 3 / 8 + 1 + 4 * 2 / 8 + 0.5 + 2 * 3 / 8
+    assert res.nfes == int(round(want)) == pruned_search_nfes(
+        8, 8, ((5, 4), (3, 2)))
+
+
+def test_pruned_search_survivors_beat_pruned(key):
+    """Pruning must keep the early high scorers: every survivor's final
+    score should be >= the median of the full initial pool's x0-hat scores
+    on this tractable toy (eps=0 => early x0-hat ~ final image)."""
+    from itsd_tpu.search import pruned_search
+
+    res = pruned_search(key, SCHED, _zero_eps, _target_verifier,
+                        noise_shape=SHAPE, n_candidates=16,
+                        prune_schedule=((6, 2),))
+    first_round = np.asarray(res.history["prune_scores"][0])
+    finals = np.asarray(res.history["final_scores"])
+    assert finals.min() >= np.median(first_round)
+
+
+def test_pruned_search_through_cli(tmp_path, key):
+    from itsd_tpu.cli.runner import run_search
+    from itsd_tpu.models import UNet, uncond_unet_config
+    from itsd_tpu.utils import load_config
+
+    ucfg = uncond_unet_config(ch=8, ch_mult=(1,), attn=(), num_res_blocks=1,
+                              dropout=0.0, T=8)
+    model = UNet(ucfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((2, 8, 8, 3)), jnp.zeros((2,), jnp.int32))
+    out = run_search(load_config(overrides=[
+        "model.channel=8", "model.channel_mult=[1]", "model.attn=[]",
+        "model.num_res_blocks=1", "model.dropout=0.0", "diffusion.T=8",
+        "data.img_size=8", "train.eval_batch_size=2",
+        "search.algorithm=pruned", "search.n_candidates=8",
+        "search.prune_schedule=[[5,4],[3,2]]",
+        "search.verifier=self_supervised",
+        f"sampled_dir={tmp_path}"]), params=params)
+    assert np.isfinite(out["best_score"])
+    assert out["nfes"] > 0
+    assert (tmp_path / "search_pruned_best.png").exists()
