@@ -337,8 +337,18 @@ def pruned_search(
         n_now = keep
 
     noise_shape = tuple(noise_shape)
-    shard = (lambda a: jax.lax.with_sharding_constraint(a, sharding)
-             if sharding is not None else a)
+
+    def shard(a):
+        # constrain the folded candidate axis onto the mesh only while it
+        # still divides the device count — pruning shrinks the population,
+        # and a non-divisible constraint is a compile error
+        if sharding is None:
+            return a
+        n_dev = getattr(getattr(sharding, "mesh", None), "size", 0)
+        if n_dev and a.shape[0] % n_dev:
+            return a
+        return jax.lax.with_sharding_constraint(a, sharding)
+
     k0, key = jax.random.split(key)
     n_now = int(n_candidates)
     x = jax.random.normal(k0, (n_now,) + noise_shape)
@@ -358,8 +368,6 @@ def pruned_search(
         _, top_idx = lax.top_k(_nan_to_neg_inf(scores), keep)
         x = per_cand(x, n_now)[top_idx]
         n_now = keep
-        # survivors re-fold; resharding only helps while n_now*B still
-        # divides the mesh — with_sharding_constraint handles either way
         x = shard(x.reshape((-1,) + noise_shape[1:]))
         t_prev = t_p
 

@@ -62,3 +62,21 @@ def test_path_search_sharded_matches_unsharded(key):
     np.testing.assert_allclose(np.asarray(res_plain.best_noise),
                                np.asarray(res_shard.best_noise),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pruned_search_sharded_matches_unsharded(key):
+    from itsd_tpu.search import pruned_search
+    mesh = make_mesh(axis_names=("data",))
+    sh = candidate_sharding(mesh)
+    eps_fn = lambda x, t: 0.1 * x
+    kw = dict(n_candidates=8, prune_schedule=((5, 4), (3, 2)),
+              noise_shape=(1, 8, 8, 3))
+    res_plain = pruned_search(key, SCHED, eps_fn, _verifier, **kw)
+    res_shard = pruned_search(key, SCHED, eps_fn, _verifier, sharding=sh,
+                              **kw)
+    np.testing.assert_allclose(np.asarray(res_plain.history["final_scores"]),
+                               np.asarray(res_shard.history["final_scores"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_plain.best_images),
+                               np.asarray(res_shard.best_images),
+                               rtol=1e-5, atol=1e-6)
