@@ -53,12 +53,11 @@ def main():
     import experiments.train_artifacts as ta
     from itsd_tpu.core import linear_schedule, sample
     from itsd_tpu.data import shapes_dataset
-    from itsd_tpu.metrics.frechet import frechet_distance, gaussian_stats
     from itsd_tpu.models.classifier import load_classifier
     from itsd_tpu.search import pruned_search, random_search
     from itsd_tpu.search.algorithms import pruned_search_nfes
-    from itsd_tpu.search.verifiers import adaptive_avg_pool, \
-        classifier_verifier
+    from itsd_tpu.search.verifiers import classifier_verifier, \
+        make_fid_proxy
 
     params = _bench.load_artifact_params("shapes32_uncond")
     assert params is not None, "artifacts/shapes32_uncond missing"
@@ -74,15 +73,7 @@ def main():
     shape = (B, 32, 32, 3)
 
     images, _ = shapes_dataset(n=2048, img_size=32, num_labels=10, seed=0)
-    real_unit = (np.asarray(images[-512:]) + 1.0) / 2.0
-    feats = lambda u: np.asarray(adaptive_avg_pool(
-        jnp.asarray(u), 8).reshape(u.shape[0], -1))
-    mu_r, sig_r = gaussian_stats(feats(real_unit))
-
-    def fid_proxy(imgs):
-        u = (np.asarray(imgs) + 1.0) / 2.0
-        mu, sig = gaussian_stats(feats(u))
-        return float(frechet_distance(mu_r, sig_r, mu, sig))
+    fid_proxy = make_fid_proxy(jnp.asarray(images[-512:]))
 
     PSCHED = ((700, 8), (400, 4), (150, 2))
     N_START = 16

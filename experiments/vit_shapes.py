@@ -80,9 +80,7 @@ def main():
 
     from itsd_tpu.core import linear_schedule, sample as core_sample
     from itsd_tpu.data import shapes_dataset
-    from itsd_tpu.metrics.frechet import frechet_distance, gaussian_stats
     from itsd_tpu.models.classifier import load_classifier
-    from itsd_tpu.search.verifiers import adaptive_avg_pool
     from itsd_tpu.train import (OptimizerConfig, create_train_state,
                                 make_optimizer, make_train_step)
     from itsd_tpu.train.checkpoint import save_params
@@ -130,10 +128,14 @@ def main():
     chunk = 100
     key = jax.random.PRNGKey(args.seed + 1)
 
+    # the last 1024 images are a true holdout for the quality section —
+    # training batches draw only from the first len-1024
+    n_train = len(images) - 1024
+
     def chunk_inputs(done, n_now):
         idx = jnp.asarray(
             np.random.default_rng(args.seed * 7919 + done).integers(
-                0, len(images), size=(n_now, args.batch)), jnp.int32)
+                0, n_train, size=(n_now, args.batch)), jnp.int32)
         return idx, jax.random.split(jax.random.fold_in(key, done), n_now)
 
     # cost-model FLOPs of ONE jitted train step. NOTE: cost_analysis() on a
@@ -247,23 +249,19 @@ def main():
          f"MFU {rec['sampler']['mfu_vs_197tflops']}")
 
     # ------------------------- 3. quality head-to-head vs the UNet artifact
+    from itsd_tpu.search.verifiers import make_fid_proxy, to_unit_range
+
     logit_fn, _, _ = load_classifier(
         os.path.join(ARTIFACTS, "classifier_shapes32"))
-    hold_unit = (images[-1024:] + 1.0) / 2.0  # shapes_dataset is in [-1,1]
-    mu_r, sig_r = gaussian_stats(np.asarray(
-        adaptive_avg_pool(jnp.asarray(hold_unit), 8)
-        .reshape(hold_unit.shape[0], -1)))
+    # images[-1024:] are excluded from training above — a true holdout
+    fid_proxy = make_fid_proxy(jnp.asarray(images[-1024:]))
 
     def quality(imgs):
-        unit = (jnp.asarray(imgs) + 1.0) / 2.0
-        logp = jax.nn.log_softmax(logit_fn(unit), axis=-1)
-        feats = np.asarray(adaptive_avg_pool(unit, 8)
-                           .reshape(unit.shape[0], -1))
-        mu_f, sig_f = gaussian_stats(feats)
+        logp = jax.nn.log_softmax(
+            logit_fn(to_unit_range(jnp.asarray(imgs))), axis=-1)
         return {"classifier_max_logprob": float(
                     jnp.max(logp, axis=-1).mean()),
-                "fid_proxy": round(
-                    float(frechet_distance(mu_r, sig_r, mu_f, sig_f)), 3)}
+                "fid_proxy": round(fid_proxy(imgs), 3)}
 
     noise64 = jax.random.normal(jax.random.PRNGKey(20),
                                 (64, VIT["img"], VIT["img"], 3))
@@ -284,7 +282,7 @@ def main():
         usamp = jax.jit(lambda noise, k: core_sample(sched, ueps, noise, k))
         unet_imgs = usamp(noise64, jax.random.PRNGKey(21))
         rec["quality_unet_same_noise"] = quality(unet_imgs)
-    rec["quality_real_holdout"] = quality(images[-1024:][:64])
+    rec["quality_real_holdout_selfcheck"] = quality(images[-1024:][:64])
     note(f"quality vit={rec['quality_vit']} "
          f"unet={rec.get('quality_unet_same_noise')}")
 

@@ -184,6 +184,16 @@ def make_eps_fn(model, params, conditional: bool, labels=None,
 # Train
 
 
+def make_train_key(cfg: Config) -> jax.Array:
+    """Training key per train.prng_impl — "rbg" is the TPU-native generator
+    (cheaper dropout-mask bits, docs/PERF.md "ViT denoiser"; different
+    random stream than the default threefry). Used by every training entry
+    point (train AND finetune-t)."""
+    if cfg.train.prng_impl == "threefry":
+        return jax.random.PRNGKey(cfg.seed)
+    return jax.random.key(cfg.seed, impl=cfg.train.prng_impl)
+
+
 def resolve_track_metrics(cfg: Config) -> bool:
     """train.track_metrics=None means auto: tracked eval ON (the reference
     always evaluates during training, `Train.py:719-803`) except on the
@@ -277,12 +287,7 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     logger = MetricsLogger(
         os.path.join(cfg.metrics_save_dir, "train_metrics.jsonl"),
         also_print=True)
-    if cfg.train.prng_impl == "threefry":
-        key = jax.random.PRNGKey(cfg.seed)
-    else:
-        # e.g. "rbg": TPU-native generator — cheaper dropout-mask bits
-        # (docs/PERF.md "ViT denoiser"); different stream than threefry
-        key = jax.random.key(cfg.seed, impl=cfg.train.prng_impl)
+    key = make_train_key(cfg)
     losses = []   # device scalars; synced once at the end (not per step)
     ckpts = []
     metrics_history = []
@@ -820,12 +825,20 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
             r = pruned_search(k, sched, eps_fn, verifier_fn, shape,
                               n_candidates=s.n_candidates,
                               prune_schedule=psched, sharding=cand_sh)
+            # prune_scores is a tuple of static-shape arrays (one per
+            # prune point) — returnable from jit alongside the finals
             return (r.best_noise, r.best_score, r.best_images,
-                    r.history["final_scores"])
-        bn, bs, bi, fsc = _run(key)
+                    r.history["final_scores"],
+                    tuple(r.history["prune_scores"]))
+        bn, bs, bi, fsc, psc = _run(key)
+        # "scores" = the FULL initial pool's x0-hat scores (round 0), so
+        # best-vs-median analyses see every candidate like the other
+        # algorithms; survivors' final scores ride alongside
         res = SearchResult(
             bn, bs, bi,
-            {"scores": fsc, "prune_schedule": list(psched)},
+            {"scores": (psc[0] if psc else fsc), "final_scores": fsc,
+             "prune_scores": [np.asarray(a) for a in psc],
+             "prune_schedule": list(psched)},
             pruned_search_nfes(sched.T, s.n_candidates, psched))
     elif s.algorithm == "gradient":
         init = jax.random.normal(jax.random.fold_in(key, 0), shape)
@@ -854,24 +867,25 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
     # unsearched baseline sample from the same denoiser.
     guard = None
     if s.guard_proxy and res.best_images is not None:
-        from ..metrics.frechet import frechet_distance, gaussian_stats
-        from ..search.verifiers import adaptive_avg_pool
+        from ..search.verifiers import make_fid_proxy
 
         images, _ = load_dataset(cfg)
-        real_unit = (np.asarray(images[: s.guard_num_real]) + 1.0) / 2.0
+        _proxy = make_fid_proxy(jnp.asarray(images[: s.guard_num_real]))
 
-        def _feats(unit):
-            return np.asarray(adaptive_avg_pool(
-                jnp.asarray(unit), 8).reshape(unit.shape[0], -1))
-
-        mu_r, sig_r = gaussian_stats(_feats(real_unit))
-
-        def _proxy(imgs):
-            unit = (np.asarray(imgs) + 1.0) / 2.0
-            mu, sig = gaussian_stats(_feats(unit))
-            return float(frechet_distance(mu_r, sig_r, mu, sig))
-
-        base_imgs = denoise_fn(
+        # The baseline must come from the SAME chain the winner used, or
+        # the sampler-quality gap masquerades as (or masks) hacking:
+        # path/pruned winners are always full ancestral samples; gradient
+        # follows diffusion.sampler only when it is dpm; random/zero-order
+        # denoise with the configured sampler (= denoise_fn).
+        if s.algorithm in ("path", "pruned") or (
+                s.algorithm == "gradient"
+                and cfg.diffusion.sampler != "dpm"):
+            base_fn = lambda n, k: sample(sched, eps_fn, n, k,
+                                          clip_denoised=cfg.diffusion
+                                          .clip_denoised)
+        else:
+            base_fn = denoise_fn
+        base_imgs = base_fn(
             jax.random.normal(jax.random.fold_in(key, 0x6a7d), shape),
             jax.random.fold_in(key, 0x6a7e))
         guard = {"winner_fid_proxy": _proxy(res.best_images),
@@ -938,7 +952,7 @@ def finetune_extended_T(cfg: Config, max_steps: Optional[int] = None) -> dict:
         loss_reduction=cfg.train.loss_reduction,
         label_dropout=cfg.train.label_dropout)
 
-    key = jax.random.PRNGKey(cfg.seed)
+    key = make_train_key(cfg)
     losses = []
     step = 0
     ckpts = []

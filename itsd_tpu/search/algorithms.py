@@ -329,6 +329,11 @@ def pruned_search(
     """
     sched_pairs = sorted((tuple(map(int, p)) for p in prune_schedule),
                          reverse=True)
+    seen_t = [t for t, _ in sched_pairs]
+    if len(set(seen_t)) != len(seen_t):
+        raise ValueError(
+            f"prune_schedule has duplicate timesteps: {sched_pairs} — "
+            "merge them into one (t, keep) entry")
     n_now = int(n_candidates)
     for t_p, keep in sched_pairs:
         assert 0 < t_p < sched.T, (t_p, sched.T)

@@ -231,3 +231,32 @@ def classifier_verifier(logit_fn: Callable[[jnp.ndarray], jnp.ndarray],
         return jnp.take_along_axis(logp, targets[:, None], axis=-1).mean()
 
     return score
+
+
+# ---------------------------------------------------------------------------
+# Independent cheap quality proxy (verifier-hacking checks)
+
+
+def make_fid_proxy(real_images: jnp.ndarray, pool_hw: int = 8):
+    """Pooled-pixel Frechet proxy: ``real_images`` in [-1, 1] anchor the
+    stats; the returned callable maps an image batch in [-1, 1] to a float
+    distance. Deliberately INDEPENDENT of every search verifier (pixels,
+    not learned features), so it detects verifier over-optimization — the
+    paper's "verifier hacking" (used by `search.guard_proxy` and the
+    RESULTS.md experiments)."""
+    import numpy as np
+
+    from ..metrics.frechet import frechet_distance, gaussian_stats
+
+    def feats(images):
+        unit = to_unit_range(jnp.asarray(images))
+        return np.asarray(adaptive_avg_pool(unit, pool_hw)
+                          .reshape(unit.shape[0], -1))
+
+    mu_r, sig_r = gaussian_stats(feats(real_images))
+
+    def proxy(images) -> float:
+        mu, sig = gaussian_stats(feats(images))
+        return float(frechet_distance(mu_r, sig_r, mu, sig))
+
+    return proxy

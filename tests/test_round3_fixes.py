@@ -287,14 +287,19 @@ def test_search_guard_proxy_fields_and_flagging(tmp_path):
     assert np.isfinite(g["baseline_fid_proxy"])
     assert isinstance(g["flagged"], bool)
 
-    # an adversarial verifier that rewards saturated-white images picks a
-    # quality-degrading winner; with a hair-trigger threshold the guard
-    # must trip (winner proxy worse than the unsearched baseline)
+    # deterministic decision-logic checks: flagged iff
+    # winner_proxy > ratio * baseline_proxy. A near-zero ratio must trip
+    # (any positive winner proxy exceeds it); a huge ratio must not.
     out2 = run_search(
-        load_config(overrides=base + ["search.guard_ratio=1.0001"]),
+        load_config(overrides=base + ["search.guard_ratio=1e-9"]),
         params=params,
         verifier_fn=lambda imgs: jnp.mean(imgs))
-    assert out2["guard"] is not None  # guard computed with injected verifier
+    assert out2["guard"]["winner_fid_proxy"] > 0
+    assert out2["guard"]["flagged"] is True
+    out2b = run_search(
+        load_config(overrides=base + ["search.guard_ratio=1e9"]),
+        params=params)
+    assert out2b["guard"]["flagged"] is False
 
     # guard off -> no guard dict
     out3 = run_search(load_config(overrides=base[:-3] +

@@ -281,3 +281,12 @@ def test_pruned_search_through_cli(tmp_path, key):
     assert np.isfinite(out["best_score"])
     assert out["nfes"] > 0
     assert (tmp_path / "search_pruned_best.png").exists()
+
+
+def test_pruned_search_rejects_duplicate_timesteps(key):
+    from itsd_tpu.search import pruned_search
+    import pytest
+    with pytest.raises(ValueError, match="duplicate timesteps"):
+        pruned_search(key, SCHED, _zero_eps, _target_verifier,
+                      noise_shape=SHAPE, n_candidates=8,
+                      prune_schedule=((5, 4), (5, 2)))
