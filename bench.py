@@ -59,6 +59,31 @@ def _enable_cache():
         log(f"[bench] persistent compilation cache: {d}")
 
 
+def _device_unavailable(timeout_s: float):
+    """Bounded first-device-contact probe. The TPU relay can go hard-down
+    (backend init hangs rather than raising), which would hang the whole
+    bench forever; probe in a daemon thread and report instead. Returns an
+    error string, or None when a device answered."""
+    import threading
+    res = {}
+
+    def probe():
+        try:
+            import jax
+            res["ok"] = len(jax.devices()) > 0
+        except Exception as e:  # init raised (e.g. UNAVAILABLE)
+            res["err"] = f"{type(e).__name__}: {e}"
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if res.get("ok"):
+        return None
+    return res.get("err",
+                   f"no device response within {timeout_s:.0f}s "
+                   "(TPU relay unreachable)")
+
+
 def measure_ours() -> dict:
     import jax
     import jax.numpy as jnp
@@ -462,6 +487,18 @@ def measure_imagenet256() -> dict:
 
 def main():
     _enable_cache()
+    err = _device_unavailable(
+        float(os.environ.get("BENCH_DEVICE_TIMEOUT", "900")))
+    if err:
+        # Honest, parseable failure instead of an unbounded hang: the
+        # value is null (not a fake zero) and the error is in the detail.
+        log(f"[bench] DEVICE UNAVAILABLE: {err}")
+        print(json.dumps({
+            "metric": "images_per_sec_per_chip", "value": None,
+            "unit": "img/s", "vs_baseline": None,
+            "detail": {"error": f"device unavailable: {err}"},
+        }))
+        return
     ours = measure_ours()
     base = get_baseline()
     vs = (ours["images_per_sec"] / base["images_per_sec"]
