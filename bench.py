@@ -1,11 +1,13 @@
 """Benchmark: images/sec/chip for CIFAR-10-scale DDPM ancestral sampling at
 fixed NFE (BASELINE.md workload 1: 32x32, T=1000, UNet ch=128 (1,2,2,2)
 attn@16x16, batch 8), plus structured measurements for BASELINE.md
-workloads 2-4 in the detail blob:
+workloads 2-5 in the detail blob:
   cfg              — CFG sampling w=1.8, dual-batched guidance (workload 2)
   search           — best-of-16 random search throughput (workload 3)
   ensemble_search  — zero-order + path search with the on-device FID/IS
                      ensemble verifier (workload 4)
+  workload5        — 64x64 cond DDPM, extended T=3000, best-of-64 search,
+                     CFG w=1.8 on trained weights (workload 5)
 Set BENCH_FAST=1 to run only the primary workload.
 
 Prints ONE JSON line:
@@ -16,10 +18,22 @@ Baseline = the PyTorch reference sampler on CPU (the hardware it actually
 ships with here). Measured live from /root/reference when importable (a few
 steps, extrapolated to full T), else read from bench_baseline.json
 (committed, measured on this machine).
+
+Relay-proofing (VERDICT r3 weak #1: one 900 s give-up nulled a whole
+round's record): each workload runs in its OWN subprocess
+(``python bench.py --workload NAME``) so a TPU-relay death cannot poison
+the parent's JAX backend; finished measurements are checkpointed to a
+progress file immediately, so a mid-run flap never discards them; on a
+worker failure the orchestrator re-probes the relay with backoff and
+retries until BENCH_DEADLINE_S (default 90 min) — the persistent XLA
+compilation cache makes retries cheap. The final JSON line reports every
+workload that finished before the deadline, with per-workload errors for
+any that did not.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -485,52 +499,240 @@ def measure_imagenet256() -> dict:
     return out
 
 
+def measure_workload5() -> dict:
+    """BASELINE.md workload 5: 64x64 conditional DDPM, extended T=3000,
+    best-of-64 random search, CFG w=1.8 — on the committed TRAINED
+    artifact (shapes64_cond + classifier verifier) through the product
+    search CLI path, via the standalone experiment script (the same code
+    that produced docs/results/workload5_imagenet64.json). Bounded for
+    bench use: 1 steady rep (the product-path run is the headline);
+    writes its detail to a temp file, never the committed record."""
+    import tempfile
+
+    n_cand = os.environ.get("BENCH_W5_CANDIDATES", "64")
+    t_ext = os.environ.get("BENCH_W5_T", "3000")
+    out_path = os.path.join(tempfile.gettempdir(), "bench_workload5.json")
+    cmd = [sys.executable,
+           os.path.join(REPO, "experiments", "workload5_imagenet64.py"),
+           "--candidates", n_cand, "--t", t_ext, "--reps",
+           os.environ.get("BENCH_W5_REPS", "1"), "--out", out_path]
+    r = subprocess.run(cmd, capture_output=True, text=True,
+                       timeout=float(os.environ.get("BENCH_W5_TIMEOUT",
+                                                    "2700")))
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"workload5 experiment failed (rc={r.returncode}): "
+            f"{r.stderr[-800:]}")
+    with open(out_path) as f:
+        rep = json.load(f)
+    keep = ("workload", "weights", "verifier", "sampler", "clip_denoised",
+            "evals_per_candidate", "product_path_wall_s_incl_compile",
+            "steady_wall_s", "candidates_per_s", "model_evals_per_s",
+            "best_score", "candidate_score_stats")
+    return {k: rep[k] for k in keep if k in rep}
+
+
+# ---------------------------------------------------------------------------
+# Orchestration: per-workload subprocesses + progress checkpoint + relay
+# retry with backoff (a flap must never null the whole record again)
+
+PRIMARY = "ours"
+WORKLOADS = {
+    "baseline": None,  # torch CPU — no TPU involved
+    "ours": measure_ours,
+    "cfg": measure_cfg,
+    "search": measure_search,
+    "ensemble_search": measure_ensemble_search,
+    "fast_sampler": measure_dpm,
+    "train": measure_train,
+    "imagenet256": measure_imagenet256,
+    "workload5": measure_workload5,
+}
+# per-workload subprocess timeouts (relay latency varies >10x; cold
+# compiles of the 256x256 flash program run ~12 min through the relay)
+TIMEOUTS = {"imagenet256": 2700.0, "workload5": 3000.0, "baseline": 900.0}
+DEFAULT_TIMEOUT = 1800.0
+
+
+def _progress_path() -> str:
+    import tempfile
+    return os.environ.get(
+        "BENCH_PROGRESS_FILE",
+        os.path.join(tempfile.gettempdir(), "itsd_bench_progress.json"))
+
+
+def _fingerprint() -> str:
+    head = "nohead"
+    try:
+        head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                              capture_output=True, text=True,
+                              timeout=10).stdout.strip() or "nohead"
+    except Exception:
+        pass
+    env = {k: v for k, v in sorted(os.environ.items())
+           if k.startswith("BENCH_") and k not in
+           ("BENCH_DEADLINE_S", "BENCH_PROGRESS_FILE")}
+    return f"{head}|{env}"
+
+
+def _load_progress() -> dict:
+    try:
+        with open(_progress_path()) as f:
+            p = json.load(f)
+        if p.get("fingerprint") == _fingerprint():
+            return p
+        log("[bench] progress file is for a different commit/config — "
+            "starting fresh")
+    except Exception:
+        pass
+    return {"fingerprint": _fingerprint(), "results": {}}
+
+
+def _save_progress(p: dict):
+    try:
+        tmp = _progress_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(p, f)
+        os.replace(tmp, _progress_path())
+    except OSError as e:
+        log(f"[bench] could not save progress: {e}")
+
+
+def _probe_relay(timeout_s: float = 180.0) -> bool:
+    """Bounded out-of-process first-device-contact probe (an in-process
+    probe would poison this interpreter's backend if the relay hangs)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert len(jax.devices()) > 0"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_relay(deadline: float) -> bool:
+    """Re-probe the relay with backoff until it answers or the deadline
+    passes. Returns True when a device answered."""
+    pause = 60.0
+    while True:
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            return False
+        log(f"[bench] probing TPU relay ({remaining:.0f}s to deadline) ...")
+        if _probe_relay(min(180.0, max(30.0, remaining))):
+            log("[bench] relay is UP")
+            return True
+        if deadline - time.time() <= pause:
+            return False
+        log(f"[bench] relay still down; retrying in {pause:.0f}s")
+        time.sleep(pause)
+        pause = min(pause * 2, 300.0)
+
+
+def _run_worker(name: str, timeout_s: float):
+    """One workload in its own interpreter. Returns (ok, payload)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--workload", name],
+            capture_output=True, text=True, timeout=timeout_s, cwd=REPO)
+    except subprocess.TimeoutExpired as e:
+        tail = (e.stderr or b"")
+        tail = tail.decode(errors="replace") if isinstance(tail, bytes) \
+            else tail
+        return False, {"error": f"timeout after {timeout_s:.0f}s",
+                       "stderr_tail": tail[-400:]}
+    sys.stderr.write(r.stderr)
+    sys.stderr.flush()
+    for line in reversed(r.stdout.splitlines()):
+        if line.startswith("BENCH_RESULT_JSON:"):
+            return True, json.loads(line[len("BENCH_RESULT_JSON:"):])
+    err = ("device unavailable (TPU relay unreachable)" if r.returncode == 3
+           else f"worker exited rc={r.returncode} without a result")
+    return False, {"error": err, "stderr_tail": r.stderr[-400:]}
+
+
+def run_one_workload(name: str):
+    """Worker entry: measure one workload, print a tagged JSON line."""
+    if name == "baseline":
+        result = get_baseline()
+    else:
+        _enable_cache()
+        err = _device_unavailable(
+            float(os.environ.get("BENCH_DEVICE_TIMEOUT", "300")))
+        if err:
+            log(f"[bench:{name}] device unavailable: {err}")
+            sys.exit(3)
+        result = WORKLOADS[name]()
+    print("BENCH_RESULT_JSON:" + json.dumps(result))
+
+
 def main():
-    _enable_cache()
-    err = _device_unavailable(
-        float(os.environ.get("BENCH_DEVICE_TIMEOUT", "900")))
-    if err:
-        # Honest, parseable failure instead of an unbounded hang: the
-        # value is null (not a fake zero) and the error is in the detail.
-        log(f"[bench] DEVICE UNAVAILABLE: {err}")
-        print(json.dumps({
-            "metric": "images_per_sec_per_chip", "value": None,
-            "unit": "img/s", "vs_baseline": None,
-            "detail": {"error": f"device unavailable: {err}"},
-        }))
-        return
-    ours = measure_ours()
-    base = get_baseline()
-    vs = (ours["images_per_sec"] / base["images_per_sec"]
-          if base.get("images_per_sec") else None)
-    # BASELINE.md workloads 2-4 (structured, not prose — VERDICT r1 item 8);
-    # BENCH_FAST=1 skips them, and a failure never kills the primary metric
-    extra = {}
-    if os.environ.get("BENCH_FAST") != "1":
-        for name, fn in (("cfg", measure_cfg), ("search", measure_search),
-                         ("ensemble_search", measure_ensemble_search),
-                         ("fast_sampler", measure_dpm),
-                         ("train", measure_train),
-                         ("imagenet256", measure_imagenet256)):
-            try:
-                log(f"[bench] measuring workload: {name} ...")
-                extra[name] = fn()
-            except Exception as e:
-                log(f"[bench] {name} failed: {e}")
-                extra[name] = {"error": str(e)}
+    deadline = time.time() + float(
+        os.environ.get("BENCH_DEADLINE_S", "5400"))
+    names = (["baseline", PRIMARY] if os.environ.get("BENCH_FAST") == "1"
+             else list(WORKLOADS))
+    progress = _load_progress()
+    results = progress["results"]
+
+    for name in names:
+        if name in results and "error" not in results[name]:
+            log(f"[bench] {name}: reusing checkpointed result")
+            continue
+        attempts = 0
+        while True:
+            budget = deadline - time.time()
+            if budget <= 0:
+                results.setdefault(name, {"error": "deadline exhausted"})
+                break
+            log(f"[bench] running workload: {name} "
+                f"(attempt {attempts + 1}, {budget:.0f}s to deadline)")
+            ok, payload = _run_worker(
+                name, min(TIMEOUTS.get(name, DEFAULT_TIMEOUT), budget))
+            if ok:
+                results[name] = payload
+                _save_progress(progress)
+                log(f"[bench] {name}: done")
+                break
+            log(f"[bench] {name} failed: {payload.get('error')}")
+            # Relay down is not a workload bug: wait it out without
+            # consuming the retry budget (the deadline bounds the wait).
+            if name != "baseline" and not _probe_relay():
+                if not _wait_for_relay(deadline):
+                    results[name] = {"error": "TPU relay unreachable "
+                                              "until deadline",
+                                     **payload}
+                    _save_progress(progress)
+                    break
+                continue
+            attempts += 1
+            if attempts >= int(os.environ.get("BENCH_MAX_RETRIES", "3")):
+                results[name] = payload
+                _save_progress(progress)
+                break
+
+    ours = results.get(PRIMARY, {})
+    base = results.get("baseline", {})
+    value = ours.get("images_per_sec")
+    vs = (value / base["images_per_sec"]
+          if value and base.get("images_per_sec") else None)
+    detail = {"workload": f"CIFAR10-uncond DDPM sample T={T} batch={BATCH}",
+              "ours": ours, "baseline_torch_cpu": base}
+    detail.update({k: v for k, v in results.items()
+                   if k not in ("ours", "baseline")})
+    if value is None:
+        detail["error"] = ours.get("error", "primary workload not measured")
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
-        "value": round(ours["images_per_sec"], 4),
+        "value": round(value, 4) if value else None,
         "unit": "img/s",
         "vs_baseline": round(vs, 2) if vs else None,
-        "detail": {
-            "workload": f"CIFAR10-uncond DDPM sample T={T} batch={BATCH}",
-            "ours": ours,
-            "baseline_torch_cpu": base,
-            **extra,
-        },
+        "detail": detail,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--workload":
+        run_one_workload(sys.argv[2])
+    else:
+        main()

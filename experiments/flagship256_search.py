@@ -37,9 +37,16 @@ def main():
                          "TPU-worker watchdog, ~1 min device time)")
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--target", type=int, default=3)
-    ap.add_argument("--out", default=os.path.join(
-        REPO, "docs", "results", "flagship256_search.json"))
+    ap.add_argument("--arch", default="shapes256_uncond",
+                    choices=["shapes256_uncond", "shapes256_flagship"],
+                    help="committed artifact to search (shapes256_flagship "
+                         "= the reference's exact ch=128 width)")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.out is None:
+        suffix = "" if args.arch == "shapes256_uncond" else "_ch128"
+        args.out = os.path.join(REPO, "docs", "results",
+                                f"flagship256_search{suffix}.json")
 
     from itsd_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
@@ -48,7 +55,7 @@ def main():
     from itsd_tpu.cli.runner import run_search
     from itsd_tpu.utils.config import load_config
 
-    a = ta.ARCHS["shapes256_uncond"]
+    a = ta.ARCHS[args.arch]
     overrides = [
         "data.dataset=synthetic", f"data.img_size={a['img']}",
         f"model.channel={a['ch']}",
@@ -58,7 +65,7 @@ def main():
         "model.time_embed=functional", "model.dtype=bfloat16",
         f"diffusion.T={ta.TRAIN_T}",
         f"save_weight_dir={ta.ARTIFACTS}",
-        "test_load_weight=shapes256_uncond",
+        f"test_load_weight={args.arch}",
         "search.algorithm=random",
         f"search.n_candidates={args.candidates}",
         f"search.candidate_chunk={args.chunk}",
@@ -82,11 +89,11 @@ def main():
     scores = np.asarray(out["result"].history["scores"], np.float64)
     evals = args.candidates * args.batch * ta.TRAIN_T
     rec = {
-        "workload": ("flagship 256x256: best-of-%d random search, T=1000 "
-                     "ancestral, trained shapes256_uncond (attention at "
-                     "4096 tokens), classifier verifier" % args.candidates),
+        "workload": (f"flagship 256x256: best-of-{args.candidates} random "
+                     f"search, T=1000 ancestral, trained {args.arch} "
+                     "(attention at 4096 tokens), classifier verifier"),
         "model": f"ch={a['ch']} mult={a['ch_mult']} attn={a['attn']} img=256",
-        "weights": "trained EMA (artifacts/shapes256_uncond, shapes256)",
+        "weights": f"trained EMA (artifacts/{args.arch}, shapes256)",
         "verifier": ("trained SmallCNN depth-4 "
                      "(artifacts/classifier_shapes256): mean target-class "
                      "log-prob"),

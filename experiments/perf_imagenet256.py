@@ -42,6 +42,36 @@ def mem_stats():
         return {}
 
 
+# v5e HBM when the relay device does not report bytes_limit
+V5E_HBM_BYTES = 16e9
+
+
+def mem_analysis(jitted, *args) -> dict:
+    """Compile-time HBM breakdown from XLA's own buffer assignment
+    (`Compiled.memory_analysis()`): exact on TPU, and available even when
+    the relay device does not implement `memory_stats()` (why
+    docs/results/imagenet256.json r3 had `peak_bytes_in_use: null`).
+    `temp` = activations/workspace, `argument` = params+inputs resident."""
+    try:
+        ma = jitted.lower(*args).compile().memory_analysis()
+        out = {}
+        for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+                  "output_size_in_bytes", "alias_size_in_bytes",
+                  "generated_code_size_in_bytes"):
+            v = getattr(ma, k, None)
+            if v is not None:
+                out[k] = int(v)
+        total = (out.get("temp_size_in_bytes", 0)
+                 + out.get("argument_size_in_bytes", 0)
+                 + out.get("output_size_in_bytes", 0)
+                 - out.get("alias_size_in_bytes", 0))
+        out["resident_total_bytes"] = int(total)
+        out["resident_total_gb"] = round(total / 1e9, 3)
+        return out
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
 def measure_sampler(attn_impl: str, batch: int, probe_t: int,
                     full_t: int) -> dict:
     import jax
@@ -107,11 +137,12 @@ def measure_sampler(attn_impl: str, batch: int, probe_t: int,
         "flops_per_eval": flops,
         "mfu_vs_197tflops": round(mfu, 3) if mfu else None,
         "memory": mem_stats(),
+        "memory_analysis_per_eval": mem_analysis(eps_step, params, x, t),
         "all_s": times,
     }
 
 
-def measure_train_step(batch: int) -> dict:
+def measure_train_step(batch: int, remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -122,7 +153,8 @@ def measure_train_step(batch: int) -> dict:
 
     cfg = uncond_unet_config(ch=128, ch_mult=(1, 2, 3, 4), attn=(2,),
                              num_res_blocks=2, dropout=0.15,
-                             dtype="bfloat16", attention_impl="auto")
+                             dtype="bfloat16", attention_impl="auto",
+                             remat=remat)
     model = UNet(cfg)
     sched = linear_schedule(1e-4, 0.02, 1000)
     x = jnp.zeros((batch, 256, 256, 3), jnp.float32)
@@ -158,6 +190,7 @@ def measure_train_step(batch: int) -> dict:
         pass
     return {
         "batch": batch,
+        "remat": remat,
         "first_run_s": round(compile_s, 1),
         "ms_per_step": round(best * 1e3, 1),
         "images_per_sec": round(batch / best, 2),
@@ -166,8 +199,60 @@ def measure_train_step(batch: int) -> dict:
         "mfu_vs_197tflops": (round(flops / best / 197e12, 3)
                              if flops else None),
         "memory": mem_stats(),
+        "memory_analysis": mem_analysis(step, state, batch_d,
+                                        jax.random.PRNGKey(9)),
         "all_s": times,
     }
+
+
+def probe_train_batches(batches, remat: bool) -> list:
+    """Compile-only max-batch probe (VERDICT r3 weak #5: 'batch scaling is
+    memory-limited' was asserted, never quantified): lower+compile the
+    train step at each batch and read XLA's buffer assignment — no
+    execution, so an over-HBM config reports its exact demand instead of
+    OOMing. `fits` compares against the device's bytes_limit (v5e 16 GB
+    fallback when the relay hides memory_stats)."""
+    import jax
+    import jax.numpy as jnp
+
+    from itsd_tpu.core import linear_schedule
+    from itsd_tpu.models import UNet, uncond_unet_config
+    from itsd_tpu.train import (OptimizerConfig, create_train_state,
+                                make_optimizer, make_train_step)
+
+    cfg = uncond_unet_config(ch=128, ch_mult=(1, 2, 3, 4), attn=(2,),
+                             num_res_blocks=2, dropout=0.15,
+                             dtype="bfloat16", attention_impl="auto",
+                             remat=remat)
+    model = UNet(cfg)
+    sched = linear_schedule(1e-4, 0.02, 1000)
+    limit = mem_stats().get("bytes_limit") or V5E_HBM_BYTES
+    rows = []
+    for b in batches:
+        x = jnp.zeros((b, 256, 256, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x,
+                            jnp.zeros((b,), jnp.int32))
+        tx = make_optimizer(OptimizerConfig(lr=1e-4, epochs=50,
+                                            steps_per_epoch=100))
+        state = create_train_state(params, tx)
+        step = make_train_step(
+            lambda p, *a, **kw: model.apply(p, *a, **kw), sched, tx)
+        batch_d = {"image": jnp.zeros(x.shape)}
+        note(f"[mem-probe remat={remat}] compiling train step batch={b} ...")
+        t0 = time.perf_counter()
+        ma = mem_analysis(step, state, batch_d, jax.random.PRNGKey(9))
+        row = {"batch": b, "remat": remat,
+               "compile_s": round(time.perf_counter() - t0, 1), **ma}
+        if "resident_total_bytes" in ma:
+            row["fits_16gb"] = bool(ma["resident_total_bytes"] < limit)
+            note(f"[mem-probe remat={remat}] batch={b}: "
+                 f"{ma['resident_total_gb']} GB resident "
+                 f"({'fits' if row['fits_16gb'] else 'OVER'})")
+        rows.append(row)
+        del state, params
+        if not row.get("fits_16gb", True):
+            break
+    return rows
 
 
 def main():
@@ -178,6 +263,15 @@ def main():
     ap.add_argument("--full-t", type=int, default=1000)
     ap.add_argument("--skip-xla", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-sampler", action="store_true")
+    ap.add_argument("--remat-ab", action="store_true",
+                    help="also run the train step with UNet remat=True")
+    ap.add_argument("--mem-batches", default="",
+                    help="comma-separated batches for the compile-only "
+                         "max-batch probe (both remat settings)")
+    ap.add_argument("--merge", action="store_true",
+                    help="update --out in place instead of rewriting "
+                         "(keeps fields from a previous partial run)")
     ap.add_argument("--out", default=os.path.join(
         REPO, "docs", "results", "imagenet256.json"))
     args = ap.parse_args()
@@ -194,19 +288,44 @@ def main():
         "device": str(jax.devices()[0]),
         "sampler": {},
     }
-    report["sampler"]["flash"] = measure_sampler(
-        "flash", args.batch, args.probe_t, args.full_t)
-    if not args.skip_xla:
-        try:
-            report["sampler"]["xla"] = measure_sampler(
-                "xla", args.batch, args.probe_t, args.full_t)
-        except Exception as e:
-            report["sampler"]["xla"] = {"error": f"{type(e).__name__}: {e}"}
+    if args.merge and os.path.isfile(args.out):
+        with open(args.out) as fh:
+            prev = json.load(fh)
+        prev.update({k: v for k, v in report.items() if k != "sampler"})
+        prev.setdefault("sampler", {})
+        report = prev
+    if not args.skip_sampler:
+        report["sampler"]["flash"] = measure_sampler(
+            "flash", args.batch, args.probe_t, args.full_t)
+        if not args.skip_xla:
+            try:
+                report["sampler"]["xla"] = measure_sampler(
+                    "xla", args.batch, args.probe_t, args.full_t)
+            except Exception as e:
+                report["sampler"]["xla"] = {
+                    "error": f"{type(e).__name__}: {e}"}
     if not args.skip_train:
         try:
             report["train_step"] = measure_train_step(args.train_batch)
         except Exception as e:
             report["train_step"] = {"error": f"{type(e).__name__}: {e}"}
+        if args.remat_ab:
+            try:
+                report["train_step_remat"] = measure_train_step(
+                    args.train_batch, remat=True)
+            except Exception as e:
+                report["train_step_remat"] = {
+                    "error": f"{type(e).__name__}: {e}"}
+    if args.mem_batches:
+        batches = [int(b) for b in args.mem_batches.split(",")]
+        report["train_memory_sweep"] = []
+        for remat in (False, True):
+            try:
+                report["train_memory_sweep"] += probe_train_batches(
+                    batches, remat)
+            except Exception as e:
+                report["train_memory_sweep"].append(
+                    {"remat": remat, "error": f"{type(e).__name__}: {e}"})
 
     f = report["sampler"].get("flash", {})
     x = report["sampler"].get("xla", {})

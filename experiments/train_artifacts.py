@@ -52,6 +52,13 @@ ARCHS = {
     "shapes256_uncond": dict(img=256, ch=32, ch_mult=(1, 2, 3, 4),
                              attn=(2,), num_res_blocks=2, dropout=0.1,
                              num_labels=None),
+    # The reference's flagship at its EXACT width (config/config.yaml:17-31,
+    # example/imagenet_ep50_bs1024_T1000_lr1e-4.sh: ch=128, (1,2,3,4),
+    # attn@stage2, dropout 0.15): ~108M params, bf16 artifact ~216 MB.
+    # Trained in relay-safe resumable segments (VERDICT r4 item 6).
+    "shapes256_flagship": dict(img=256, ch=128, ch_mult=(1, 2, 3, 4),
+                               attn=(2,), num_res_blocks=2, dropout=0.15,
+                               num_labels=None),
 }
 TRAIN_T = 1000
 
@@ -312,6 +319,8 @@ def main():
         "classifier_shapes256": lambda: train_verifier_classifier(256),
         "shapes256_uncond": lambda: train_diffusion(
             "shapes256_uncond", args.steps256, args.batch256),
+        "shapes256_flagship": lambda: train_diffusion(
+            "shapes256_flagship", args.steps256, args.batch256),
     }
     default_jobs = {"classifier_shapes32", "classifier_shapes64",
                     "shapes32_uncond", "shapes64_cond"}

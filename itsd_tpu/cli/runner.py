@@ -61,7 +61,7 @@ def build_model(cfg: Config):
             num_labels=m.num_labels, ch=m.channel,
             ch_mult=tuple(m.channel_mult), num_res_blocks=m.num_res_blocks,
             dropout=m.dropout, T=cfg.diffusion.T, dtype=m.dtype,
-            attention_impl=m.attention_impl)
+            attention_impl=m.attention_impl, remat=m.remat)
         if m.time_embed == "functional":
             import dataclasses as _dc
             ucfg = _dc.replace(ucfg, time_embed="functional")
@@ -70,7 +70,7 @@ def build_model(cfg: Config):
             ch=m.channel, ch_mult=tuple(m.channel_mult),
             attn=tuple(m.attn), num_res_blocks=m.num_res_blocks,
             dropout=m.dropout, T=cfg.diffusion.T, time_embed=m.time_embed,
-            dtype=m.dtype, attention_impl=m.attention_impl)
+            dtype=m.dtype, attention_impl=m.attention_impl, remat=m.remat)
     return UNet(ucfg), conditional
 
 
@@ -80,7 +80,27 @@ def build_schedule(cfg: Config, inference: bool = False):
     return linear_schedule(d.beta_1, d.beta_T, T)
 
 
+_dataset_cache: dict = {}
+
+
 def load_dataset(cfg: Config):
+    d = cfg.data
+    # single-entry memo: within one run several stages need the dataset
+    # (ensemble-verifier real stats, then the guard's proxy stats) — the
+    # second request must not pay a full reload. One entry only, so a
+    # different dataset config replaces rather than accumulates.
+    memo_key = (d.dataset, d.root, d.img_size, d.use_full_dataset,
+                d.train_subset_ratio, d.seed, cfg.model.num_labels,
+                cfg.train.batch_size)
+    if memo_key in _dataset_cache:
+        return _dataset_cache[memo_key]
+    out = _load_dataset_uncached(cfg)
+    _dataset_cache.clear()
+    _dataset_cache[memo_key] = out
+    return out
+
+
+def _load_dataset_uncached(cfg: Config):
     d = cfg.data
     ratio = None if d.use_full_dataset else d.train_subset_ratio
     if d.dataset == "cifar10":
@@ -494,7 +514,8 @@ def sample_with_metrics(cfg: Config, params, feature_fn=None,
         eps_fn = make_eps_fn(model, params, False)
 
     x0, ts, snaps = sample_with_snapshots(
-        sched, eps_fn, x_T, ks, interval=cfg.train.metric_interval)
+        sched, eps_fn, x_T, ks, interval=cfg.train.metric_interval,
+        clip_denoised=cfg.diffusion.clip_denoised)
 
     history = []
     mu_r = sigma_r = None
@@ -805,7 +826,8 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
             r = path_search(k, sched, eps_fn, verifier_fn, shape,
                             n_paths=s.n_paths, n_active=s.n_active,
                             injection_steps=steps, delta_f=s.delta_f,
-                            sharding=cand_sh)
+                            sharding=cand_sh,
+                            clip_denoised=cfg.diffusion.clip_denoised)
             return (r.best_noise, r.best_score, r.best_images,
                     r.history["scores"], r.history["final_scores"])
         bn, bs, bi, sc, fsc = _run(key)
@@ -824,7 +846,8 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
         def _run(k):
             r = pruned_search(k, sched, eps_fn, verifier_fn, shape,
                               n_candidates=s.n_candidates,
-                              prune_schedule=psched, sharding=cand_sh)
+                              prune_schedule=psched, sharding=cand_sh,
+                              clip_denoised=cfg.diffusion.clip_denoised)
             # prune_scores is a tuple of static-shape arrays (one per
             # prune point) — returnable from jit alongside the finals
             return (r.best_noise, r.best_score, r.best_images,
@@ -852,7 +875,8 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
             r = gradient_search(k, init, sched, eps_fn, verifier_fn,
                                 n_iterations=s.n_iterations,
                                 lr=s.gradient_lr, return_images=True,
-                                solver_steps=solver_steps, sharding=cand_sh)
+                                solver_steps=solver_steps, sharding=cand_sh,
+                                clip_denoised=cfg.diffusion.clip_denoised)
             return (r.best_noise, r.best_score, r.best_images,
                     r.history["scores"], r.history["grad_norms"])
         bn, bs, bi, sc, gns = _run(key, init)
@@ -885,23 +909,40 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
                                           .clip_denoised)
         else:
             base_fn = denoise_fn
-        base_imgs = base_fn(
-            jax.random.normal(jax.random.fold_in(key, 0x6a7d), shape),
-            jax.random.fold_in(key, 0x6a7e))
-        guard = {"winner_fid_proxy": _proxy(res.best_images),
-                 "baseline_fid_proxy": _proxy(base_imgs),
+        # Pool the baseline over several independent seeded draws: at
+        # eval_bs=4-8 one draw's Frechet-proxy estimate is high-variance
+        # (rank-deficient covariances), so flagged/not-flagged at
+        # guard_ratio could flip on sampling noise. The jitted base_fn
+        # compiles once; extra draws are cheap relative to the search.
+        # Draw 0 uses the original fold-in constants, so single-draw runs
+        # are bit-identical to the pre-pooling seeded behaviour.
+        draws = max(1, int(s.guard_baseline_draws))
+        base_vals = []
+        jit_base = jax.jit(base_fn)
+        for di in range(draws):
+            base_imgs = jit_base(
+                jax.random.normal(
+                    jax.random.fold_in(key, 0x6a7d + 2 * di), shape),
+                jax.random.fold_in(key, 0x6a7e + 2 * di))
+            base_vals.append(float(_proxy(base_imgs)))
+        base_mean = float(np.mean(base_vals))
+        base_std = float(np.std(base_vals))
+        guard = {"winner_fid_proxy": float(_proxy(res.best_images)),
+                 "baseline_fid_proxy": base_mean,
+                 "baseline_fid_proxy_std": base_std,
+                 "baseline_fid_proxy_draws": base_vals,
                  "ratio_threshold": s.guard_ratio}
         guard["flagged"] = bool(
             guard["winner_fid_proxy"]
-            > s.guard_ratio * max(guard["baseline_fid_proxy"], 1e-9))
+            > s.guard_ratio * max(base_mean, 1e-9))
         if guard["flagged"]:
             print(f"[search] WARNING: verifier-hacking guard tripped — "
                   f"winner FID-proxy {guard['winner_fid_proxy']:.3f} vs "
-                  f"unsearched baseline {guard['baseline_fid_proxy']:.3f} "
-                  f"(>{s.guard_ratio}x): the verifier score improved at "
-                  f"the expense of independent sample quality. Reduce the "
-                  f"search budget or strengthen the verifier.",
-                  file=sys.stderr)
+                  f"unsearched baseline {base_mean:.3f} +- {base_std:.3f} "
+                  f"(n={draws} draws, >{s.guard_ratio}x): the verifier "
+                  f"score improved at the expense of independent sample "
+                  f"quality. Reduce the search budget or strengthen the "
+                  f"verifier.", file=sys.stderr)
 
     os.makedirs(cfg.sampled_dir, exist_ok=True)
     if res.best_images is not None:

@@ -346,7 +346,7 @@ def parallel_picard_sample(sched: DiffusionSchedule, eps_fn: EpsFn,
 
 def sample_with_snapshots(
     sched: DiffusionSchedule, eps_fn: EpsFn, x_T: jnp.ndarray, key: jax.Array,
-    interval: int, *, clip_output: bool = True,
+    interval: int, *, clip_output: bool = True, clip_denoised: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Ancestral sampling that also returns intermediate states.
 
@@ -355,6 +355,11 @@ def sample_with_snapshots(
     equivalent of the reference's metric-tracked sampling loop
     (`Diffusion/Train.py:25-166`), which recomputed metrics mid-loop on host.
     Here the caller scores the stacked snapshots afterwards (vmappable).
+
+    ``clip_denoised`` applies the per-step x0-hat clamp exactly as in
+    `sample` — required for the reference's own extended-T inference
+    operating point (`/root/reference/config/inference_config.yaml:18-32`,
+    T=3000 w=1.8), where an unclamped bf16 CFG chain overflows.
 
     Memory: only T/interval states are kept, not T.
     """
@@ -370,7 +375,8 @@ def sample_with_snapshots(
     snaps = []
     snap_ts = []
     for hi, lo in zip(bounds[:-1], bounds[1:]):
-        x, key = _scan_steps(sched, eps_fn, x, key, hi, lo)
+        x, key = _scan_steps(sched, eps_fn, x, key, hi, lo,
+                             clip_x0=clip_denoised)
         snaps.append(x)
         snap_ts.append(lo)
     x0 = jnp.clip(x, -1.0, 1.0) if clip_output else x

@@ -77,6 +77,9 @@ def train_classifier(images, labels, cfg: ClassifierConfig = None,
 
     rng = np.random.default_rng(seed)
     n = len(images)
+    # datasets smaller than one batch still train (the pre-scan loop
+    # silently ran zero steps here; unclamped, the reshape below crashes)
+    batch_size = min(batch_size, n)
     nb = max(1, n // batch_size)
     idx = np.stack([rng.permutation(n)[:nb * batch_size].reshape(
         nb, batch_size) for _ in range(epochs)]).reshape(-1, batch_size)

@@ -38,12 +38,22 @@ def maybe_initialize_distributed(**kwargs) -> bool:
     """
     import os
 
+    import sys
+
     if not (kwargs or os.environ.get("ITSD_MULTIHOST") == "1"):
         return False
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        return False  # already initialized
+    except RuntimeError as e:
+        # Only the already-initialized case is benign. A genuine init
+        # failure (wrong coordinator address, timeout) must NOT silently
+        # degrade each host to an independent single-host run — divergent
+        # processes would write conflicting checkpoints.
+        if "already initialized" in str(e).lower():
+            return False
+        print(f"[parallel] jax.distributed.initialize FAILED: {e}",
+              file=sys.stderr, flush=True)
+        raise
     return True
 
 

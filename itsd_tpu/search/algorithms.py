@@ -208,9 +208,15 @@ def path_search(
     delta_f: int = 50,
     return_images: bool = True,
     sharding=None,
+    clip_denoised: bool = False,
 ) -> SearchResult:
     """Search over paths (paper §"beyond scaling denoising steps"; reference
     C12 intended this but ships a placeholder, `search_algorithm.py:305-334`).
+
+    ``clip_denoised`` applies the per-step x0-hat clamp inside every
+    denoise segment — must match the sampler the winner will be compared
+    against (the guard baseline uses the same flag), and is required for
+    long extrapolative-CFG chains in bf16.
 
     Real trajectory forking:
       1. ``n_paths`` i.i.d. initial noises denoise from T down to the first
@@ -247,7 +253,8 @@ def path_search(
     for t_inj in steps:
         kd, ks, key = jax.random.split(key, 3)
         # Denoise all paths down to the injection point (one batched scan).
-        x = denoise_segment(sched, eps_fn, x, kd, t_from=t_prev, t_to=t_inj)
+        x = denoise_segment(sched, eps_fn, x, kd, t_from=t_prev, t_to=t_inj,
+                            clip_denoised=clip_denoised)
         nfes += n_paths * (t_prev - t_inj) / sched.T
         # Score the predicted clean image x0-hat at the current noise level
         # (one extra model eval per path — far cheaper than denoising to 0).
@@ -267,7 +274,7 @@ def path_search(
 
     kf, _ = jax.random.split(key)
     x = denoise_segment(sched, eps_fn, x, kf, t_from=t_prev, t_to=0,
-                        clip_output=True)
+                        clip_output=True, clip_denoised=clip_denoised)
     nfes += n_paths * t_prev / sched.T
     finals = per_path(x)
     final_scores = jax.vmap(verifier_fn)(finals)
@@ -306,6 +313,7 @@ def pruned_search(
     prune_schedule: Sequence[Sequence[int]] = ((500, 4),),
     return_images: bool = True,
     sharding=None,
+    clip_denoised: bool = False,
 ) -> SearchResult:
     """Progressive candidate pruning — successive halving over noise.
 
@@ -364,7 +372,8 @@ def pruned_search(
     t_prev = sched.T
     for t_p, keep in sched_pairs:
         kd, key = jax.random.split(key)
-        x = denoise_segment(sched, eps_fn, x, kd, t_from=t_prev, t_to=t_p)
+        x = denoise_segment(sched, eps_fn, x, kd, t_from=t_prev, t_to=t_p,
+                            clip_denoised=clip_denoised)
         tb = jnp.full((x.shape[0],), t_p - 1, dtype=jnp.int32)
         eps = eps_fn(x, tb)
         x0_hat = jnp.clip(predict_x0_from_eps(sched, x, tb, eps), -1, 1)
@@ -378,7 +387,7 @@ def pruned_search(
 
     kf, _ = jax.random.split(key)
     x = denoise_segment(sched, eps_fn, x, kf, t_from=t_prev, t_to=0,
-                        clip_output=True)
+                        clip_output=True, clip_denoised=clip_denoised)
     finals = per_cand(x, n_now)
     final_scores = jax.vmap(verifier_fn)(finals)
     best = jnp.argmax(_nan_to_neg_inf(final_scores))
@@ -404,6 +413,7 @@ def gradient_search(
     return_images: bool = False,
     solver_steps: int | None = None,
     sharding=None,
+    clip_denoised: bool = False,
 ) -> SearchResult:
     """Adam on the noise tensor against a differentiable verifier (C12b).
 
@@ -435,7 +445,8 @@ def gradient_search(
             images = dpm_solver_sample(sched, eps_fn, noise, k,
                                        num_steps=solver_steps)
         else:
-            images = sample(sched, eps_fn, noise, k, remat=True)
+            images = sample(sched, eps_fn, noise, k, remat=True,
+                            clip_denoised=clip_denoised)
         return verifier_fn(images)
 
     grad_fn = jax.value_and_grad(lambda n, k: -score_of(n, k))
@@ -470,7 +481,8 @@ def gradient_search(
                 num_steps=solver_steps)
         else:
             result_images = sample(sched, eps_fn, best_noise,
-                                   jax.random.fold_in(key, n_iterations))
+                                   jax.random.fold_in(key, n_iterations),
+                                   clip_denoised=clip_denoised)
     return SearchResult(
         best_noise=best_noise,
         best_score=best_score,

@@ -38,8 +38,9 @@ class ModelCfg:
     depth: int = 12
     num_heads: int = 12
     mlp_ratio: float = 4.0
-    # per-block remat: recompute activations in the ViT backward (the v5e
-    # backward is HBM-bound on stored activations — docs/PERF.md)
+    # per-block remat (ViT TransformerBlocks / UNet ResBlocks): recompute
+    # activations in the backward pass — trades FLOPs for the HBM that
+    # caps large-image train batches (docs/PERF.md)
     remat: bool = False
 
 
@@ -170,6 +171,10 @@ class SearchCfg:
     guard_proxy: bool = False
     guard_num_real: int = 256           # real images anchoring proxy stats
     guard_ratio: float = 1.5
+    # independent seeded unsearched draws pooled into the baseline proxy —
+    # at eval_bs=4-8 a single draw's Frechet-proxy stats are high-variance
+    # and flagged/not-flagged could flip on sampling noise
+    guard_baseline_draws: int = 4
 
 
 @dataclasses.dataclass
