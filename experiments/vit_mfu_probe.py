@@ -43,11 +43,126 @@ def flops_of(compiled):
     return float(ca.get("flops", 0.0)) or None
 
 
+def run_matrix(out_path: str):
+    """DiT-scale probe matrix (VERDICT r3 weak #4: 'does remat/rbg pay at
+    E>=768, where the knobs were built for?' — measured, not asserted):
+    two scales x {dropout 0, 0.1} x {threefry, rbg} x {remat on/off}.
+
+      vit32_p4    — 32x32 patch-4: 64 tokens, E=768 d=12 (DiT-S/4-shaped
+                    compute at the repo's 32x32 operating point)
+      vit256_p16  — 256x256 patch-16: 256 tokens, E=768 d=12 h=12 — the
+                    reference's OWN ViT defaults
+                    (/root/reference/Diffusion/Model.py:372-374)
+
+    Rows are written to `out_path` after EVERY measurement (relay-flap
+    resumable: existing rows are skipped on rerun)."""
+    import jax
+    import jax.numpy as jnp
+
+    from experiments.vit_shapes import TRAIN_T
+    from itsd_tpu.core import linear_schedule
+    from itsd_tpu.models import ViT, ViTConfig
+    from itsd_tpu.train import (OptimizerConfig, create_train_state,
+                                make_optimizer, make_train_step)
+
+    sched = linear_schedule(1e-4, 0.02, TRAIN_T)
+    scales = {
+        "vit32_p4_e768_d12": dict(img=32, patch=4, batch=128),
+        "vit256_p16_e768_d12_reference_default": dict(img=256, patch=16,
+                                                      batch=32),
+    }
+    emb, depth, heads = 768, 12, 12
+    if os.environ.get("ITSD_VIT_MATRIX_SMOKE") == "1":  # CPU plumbing test
+        scales = {"vit32_p4_e768_d12": dict(img=16, patch=8, batch=2)}
+        emb, depth, heads = 16, 2, 2
+    variants = [
+        dict(dropout=0.0, prng="threefry", remat=False),
+        dict(dropout=0.0, prng="threefry", remat=True),
+        dict(dropout=0.1, prng="threefry", remat=False),
+        dict(dropout=0.1, prng="threefry", remat=True),
+        dict(dropout=0.1, prng="rbg", remat=False),
+        dict(dropout=0.1, prng="rbg", remat=True),
+    ]
+    report = {}
+    if os.path.isfile(out_path):
+        with open(out_path) as f:
+            report = json.load(f)
+    report.setdefault("peak_tflops", PEAK / 1e12)
+    report.setdefault("model", "E=768 depth=12 heads=12 mlp=4 bf16")
+
+    for sname, s in scales.items():
+        rows = report.setdefault(sname, {})
+        rows["tokens"] = (s["img"] // s["patch"]) ** 2
+        rows["batch"] = s["batch"]
+        x0 = jax.random.normal(jax.random.PRNGKey(1),
+                               (s["batch"], s["img"], s["img"], 3))
+        for v in variants:
+            tag = (f"drop{v['dropout']}_{v['prng']}"
+                   f"{'_remat' if v['remat'] else ''}")
+            if tag in rows and "error" not in rows[tag]:
+                note(f"{sname}/{tag}: already measured, skipping")
+                continue
+            cfg = ViTConfig(img_size=s["img"], patch_size=s["patch"],
+                            embed_dim=emb, depth=depth, num_heads=heads,
+                            mlp_ratio=4.0, dropout=v["dropout"],
+                            attention_impl="auto", dtype="bfloat16",
+                            remat=v["remat"])
+            model = ViT(cfg)
+            key = (jax.random.key(2, impl="rbg") if v["prng"] == "rbg"
+                   else jax.random.PRNGKey(2))
+            try:
+                params = model.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((2, s["img"], s["img"], 3)),
+                                    jnp.zeros((2,), jnp.int32))
+                tx = make_optimizer(OptimizerConfig(
+                    lr=2e-4, epochs=4, steps_per_epoch=32, ema_decay=0.999))
+                state = create_train_state(params, tx, ema=True)
+                step = jax.jit(make_train_step(
+                    lambda p, *aa, **kw: model.apply(p, *aa, **kw), sched,
+                    tx, ema_decay=0.999, donate=False))
+                bd = {"image": x0}
+                note(f"{sname}/{tag}: compiling ...")
+                fl = flops_of(step.lower(state, bd, key).compile())
+                state, m = step(state, bd, key)
+                jax.block_until_ready(m)
+                walls = []
+                for i in range(5):
+                    k = jax.random.fold_in(key, i)
+                    t0 = time.perf_counter()
+                    state, m = step(state, bd, k)
+                    jax.block_until_ready(m)
+                    walls.append(time.perf_counter() - t0)
+                best = min(walls)
+                rows[tag] = {
+                    "ms_per_step": round(best * 1e3, 2),
+                    "images_per_sec": round(s["batch"] / best, 1),
+                    "flops_per_step": fl,
+                    "mfu_vs_197tflops": (round(fl / best / PEAK, 3)
+                                         if fl else None)}
+                note(f"{sname}/{tag}: {rows[tag]}")
+                del state, params
+            except Exception as e:
+                rows[tag] = {"error": f"{type(e).__name__}: {e}"}
+                note(f"{sname}/{tag} FAILED: {rows[tag]['error']}")
+            with open(out_path, "w") as f:
+                json.dump(report, f, indent=1)
+    note(f"-> {out_path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--skip-large", action="store_true")
+    ap.add_argument("--matrix", action="store_true",
+                    help="run the DiT-scale remat/rbg matrix instead of "
+                         "the trained-config diagnosis")
     args = ap.parse_args()
+
+    if args.matrix:
+        from itsd_tpu.utils import enable_compilation_cache
+        enable_compilation_cache()
+        run_matrix(os.path.join(RESULTS, "vit_mfu_large.json"))
+        return
 
     from itsd_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
