@@ -26,6 +26,27 @@ def _batched(fn, images, batch_size):
     return np.concatenate(outs)
 
 
+def load_images(paths, size: Optional[int] = None) -> np.ndarray:
+    """Read image files into an [N,H,W,3] float array in [0,1] — the
+    path-based entry of the reference's extractors
+    (`utils/metrics.py:89-133` walks PNG paths in batches). All images
+    must share a size unless ``size`` resizes them."""
+    from PIL import Image
+
+    arrs = []
+    for p in paths:
+        im = Image.open(p).convert("RGB")
+        if size is not None:
+            im = im.resize((size, size), Image.BILINEAR)
+        arrs.append(np.asarray(im, np.float32) / 255.0)
+    if not arrs:
+        raise ValueError("no image paths given")
+    shapes = {a.shape for a in arrs}
+    if len(shapes) > 1:
+        raise ValueError(f"mixed image sizes {shapes}; pass size= to resize")
+    return np.stack(arrs)
+
+
 class FID:
     """Fréchet Inception Distance (`utils/metrics.py:19-308`)."""
 
@@ -41,6 +62,10 @@ class FID:
     def get_features(self, images) -> np.ndarray:
         """images [N,H,W,C] in [0,1] -> [N, D] features."""
         return _batched(self.feature_fn, np.asarray(images), self.batch_size)
+
+    def extract_features(self, image_paths, size: Optional[int] = None):
+        """Path-based extraction (`utils/metrics.py:89-133`)."""
+        return self.get_features(load_images(image_paths, size))
 
     def compute_fid(self, real_features, fake_features,
                     eps: float = 1e-6) -> float:

@@ -90,3 +90,29 @@ def test_clip_score_evaluator_class():
     assert sim_self >= sim_other - 1e-6
     div = cs.diversity(imgs)
     assert -1.0 <= div <= 2.0
+
+def test_fid_path_based_extraction(tmp_path):
+    """Path-based feature entry (`utils/metrics.py:89-133`): features from
+    PNGs on disk match features from the same arrays in memory."""
+    from PIL import Image
+
+    from itsd_tpu.metrics import FID, load_images
+    rng = np.random.default_rng(2)
+    imgs = rng.uniform(0, 1, (6, 16, 16, 3)).astype(np.float32)
+    paths = []
+    for i, a in enumerate(imgs):
+        p = tmp_path / f"im_{i}.png"
+        Image.fromarray((a * 255).astype(np.uint8)).save(p)
+        paths.append(str(p))
+
+    loaded = load_images(paths)
+    assert loaded.shape == imgs.shape
+    np.testing.assert_allclose(loaded, imgs, atol=1 / 255 + 1e-6)
+
+    fid = FID()
+    f_mem = fid.get_features(loaded)
+    f_path = fid.extract_features(paths)
+    np.testing.assert_allclose(f_mem, f_path)
+    # resize path
+    small = load_images(paths, size=8)
+    assert small.shape == (6, 8, 8, 3)
