@@ -241,10 +241,15 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
         from ..metrics import default_extractors, make_clip_feature_fn
         n_val = max(1, int(len(images) * cfg.data.val_ratio))
         perm = np.random.default_rng(cfg.data.seed).permutation(len(images))
-        val_unit = (images[perm[:n_val]] + 1.0) / 2.0
-        images = images[perm[n_val:]]
-        if labels is not None:
-            labels = labels[perm[n_val:]]
+        if cfg.train.use_val_for_eval:
+            val_unit = (images[perm[:n_val]] + 1.0) / 2.0
+            images = images[perm[n_val:]]
+            if labels is not None:
+                labels = labels[perm[n_val:]]
+        else:
+            # config.yaml `use_val_for_eval: false`: real stats from the
+            # training set, nothing held out (`Train.py:516-536`)
+            val_unit = (images[perm[:n_val]] + 1.0) / 2.0
         feature_fn, logit_fn, provenance = default_extractors()
         clip_feature_fn = make_clip_feature_fn()
         print(f"[train] tracked-metric extractor: {provenance}")
@@ -460,10 +465,11 @@ def evaluate(cfg: Config, params=None) -> dict:
     # `Train.py:826-836`)
     os.makedirs(cfg.sampled_dir, exist_ok=True)
     save_image_grid(np.asarray(jnp.clip(x_T * 0.5, -1, 1)),
-                    os.path.join(cfg.sampled_dir, "noisy.png"),
+                    os.path.join(cfg.sampled_dir,
+                                 cfg.sampled_noisy_img_name),
                     nrow=cfg.nrow)
     imgs = run_sampler(cfg, sched, eps_fn, x_T, ks)
-    out_path = os.path.join(cfg.sampled_dir, "sampled.png")
+    out_path = os.path.join(cfg.sampled_dir, cfg.sampled_img_name)
     save_image_grid(np.asarray(imgs), out_path, nrow=cfg.nrow)
     return {"images": np.asarray(imgs), "path": out_path}
 
@@ -513,8 +519,11 @@ def sample_with_metrics(cfg: Config, params, feature_fn=None,
     else:
         eps_fn = make_eps_fn(model, params, False)
 
+    # `eval_metric_interval` (config.yaml) coarsens metric tracking on
+    # evaluation/inference runs; None falls back to the training interval
+    interval = cfg.train.eval_metric_interval or cfg.train.metric_interval
     x0, ts, snaps = sample_with_snapshots(
-        sched, eps_fn, x_T, ks, interval=cfg.train.metric_interval,
+        sched, eps_fn, x_T, ks, interval=interval,
         clip_denoised=cfg.diffusion.clip_denoised)
 
     history = []

@@ -74,6 +74,16 @@ class TrainCfg:
     eval_freq: int = 5
     model_save_freq: int = 5
     metric_interval: int = 10
+    # metric interval during EVALUATION runs (config.yaml
+    # `eval_metric_interval`); None = metric_interval
+    eval_metric_interval: Optional[int] = None
+    # real FID/CLIP features from the val split (True, reference default)
+    # or from the training set (config.yaml `use_val_for_eval: false`)
+    use_val_for_eval: bool = True
+    # accepted for config.yaml compat; this implementation ALWAYS
+    # precomputes real features once before the loop (recomputing per
+    # epoch is a torch-GPU-memory workaround, `Train.py:210-244`)
+    precompute_real_features: bool = False
     is_splits: int = 10                 # IS split count (`metrics.py:377-417`)
     eval_batch_size: Optional[int] = None
     fid_num_real_samples: int = 5000
@@ -191,6 +201,10 @@ class Config:
     metrics_save_dir: str = "./metrics_curves"
     test_load_weight: Optional[str] = None
     nrow: int = 8
+    # eval grid filenames (config.yaml `sampledNoisyImgName` /
+    # `sampledImgName`)
+    sampled_noisy_img_name: str = "noisy.png"
+    sampled_img_name: str = "sampled.png"
 
 
 def coerce(value: str) -> Any:
@@ -263,7 +277,40 @@ _LEGACY_MAP = {
     "training_load_weight": "train.training_load_weight",
     "fine_tune_lr": "train.fine_tune_lr",
     "time_embedding_strategy": "train.time_embedding_strategy",
+    "eval_batch_size": "train.eval_batch_size",
+    "fid_num_real_samples": "train.fid_num_real_samples",
+    "clip_num_real_samples": "train.clip_num_real_samples",
+    "eval_metric_interval": "train.eval_metric_interval",
+    "use_val_for_eval": "train.use_val_for_eval",
+    "precompute_real_features": "train.precompute_real_features",
+    "sampledNoisyImgName": "sampled_noisy_img_name",
+    "sampledImgName": "sampled_img_name",
+    # inference/fine-tune configs (`config/inference_config.yaml`,
+    # `config/fine_tune_config.yaml`)
+    "checkpoint_path": "test_load_weight",
+    "sampled_images_save_dir": "sampled_dir",
+    "fine_tune_epochs": "train.epoch",
+    "fine_tune_time_embedding": "train.freeze_except_time_embedding",
 }
+
+# Reference keys with no TPU equivalent — accepted and dropped with a note
+# so the reference's own YAML files load unchanged (KeyError would reject
+# them; silent dropping would hide real typos, hence the stderr note).
+_IGNORED_KEYS = {
+    "hydra": "Hydra runtime section",
+    "device": "device selection is JAX's (TPU-first)",
+    "device_ids": "multi-chip runs use jax.sharding meshes",
+    "use_multi_gpu": "multi-chip runs use jax.sharding meshes",
+    "num_workers": "host input uses train.threaded_input",
+    "fine_tune_mode": "the finetune-t CLI subcommand selects the mode",
+    "output_dir": "inference artifacts go to metrics_save_dir/sampled_dir",
+}
+
+
+def _note_ignored(key: str) -> None:
+    import sys
+    print(f"[config] ignoring reference-only key {key!r} "
+          f"({_IGNORED_KEYS[key]})", file=sys.stderr)
 
 
 def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
@@ -272,6 +319,9 @@ def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
         if "=" not in ov:
             raise ValueError(f"override must be key=value, got {ov!r}")
         key, _, raw = ov.partition("=")
+        if key in _IGNORED_KEYS:
+            _note_ignored(key)
+            continue
         key = _LEGACY_MAP.get(key, key)
         _set_dotted(cfg, key, coerce(raw))
     return cfg
@@ -279,6 +329,9 @@ def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
 
 def _update_dataclass(obj: Any, data: dict, prefix: str = "") -> None:
     for k, v in data.items():
+        if prefix == "" and k in _IGNORED_KEYS:
+            _note_ignored(k)
+            continue
         k = _LEGACY_MAP.get(k, k) if prefix == "" else k
         if "." in k:
             _set_dotted(obj, k, coerce(v) if isinstance(v, str) else v)
