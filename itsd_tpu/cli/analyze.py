@@ -90,20 +90,38 @@ def visualize_representation_evolution(
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--repr-dir", required=True)
-    p.add_argument("--out-dir", default="./analysis")
+    # reference spellings (--representation_dir/--output_dir,
+    # `analyze_representations.py:176-183`) accepted as aliases
+    p.add_argument("--repr-dir", "--representation_dir", required=True,
+                   dest="repr_dir")
+    p.add_argument("--out-dir", "--output_dir", default="./analysis",
+                   dest="out_dir")
+    p.add_argument("--epoch", type=int, default=None,
+                   help="analyze this epoch only (default: stats for all, "
+                        "t-SNE of the last)")
+    p.add_argument("--max-samples", "--max_samples", type=int, default=1000,
+                   dest="max_samples",
+                   help="subsample cap for the t-SNE embedding")
     p.add_argument("--pca-dim", type=int, default=50)
     p.add_argument("--perplexity", type=float, default=30.0)
     args = p.parse_args(argv)
 
     per_epoch = load_representations(args.repr_dir)
+    if args.epoch is not None:
+        per_epoch = {e: v for e, v in per_epoch.items() if e == args.epoch}
     if not per_epoch:
-        print(f"no representation files found in {args.repr_dir}")
+        print(f"no representation files found in {args.repr_dir}"
+              + (f" for epoch {args.epoch}" if args.epoch is not None
+                 else ""))
         return 1
     for epoch, (reps, labels) in per_epoch.items():
         print(f"epoch {epoch}: {representation_stats(reps, labels)}")
     last = max(per_epoch)
     reps, labels = per_epoch[last]
+    if len(reps) > args.max_samples:
+        sel = np.random.default_rng(0).choice(len(reps), args.max_samples,
+                                              replace=False)
+        reps, labels = reps[sel], labels[sel]
     visualize_representations_tsne(
         reps, labels, os.path.join(args.out_dir, f"tsne_epoch_{last}.png"),
         pca_dim=args.pca_dim, perplexity=args.perplexity)
