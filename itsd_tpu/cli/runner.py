@@ -156,6 +156,21 @@ def load_eval_params(cfg: Config, model, conditional: bool):
     return params
 
 
+def _cli_segment(cfg: Config, sched, eps_fn):
+    """(denoise_seg, cost) for the forking searches from diffusion.sampler:
+    path/pruned segments ride DDIM/DPM when configured (picard has no
+    segment form; fall back to ancestral). None = ancestral default built
+    inside the algorithm."""
+    from ..core import make_segment_denoiser
+    samp = cfg.diffusion.sampler
+    if samp not in ("ddim", "dpm"):
+        return None
+    return make_segment_denoiser(
+        sched, eps_fn, samp,
+        num_steps=min(cfg.diffusion.ddim_steps, sched.T),
+        clip_denoised=cfg.diffusion.clip_denoised)
+
+
 def run_sampler(cfg: Config, sched, eps_fn, x_T, key):
     """Dispatch ancestral DDPM vs DDIM vs DPM-Solver++ per config
     (diffusion.sampler; ddim_steps is the step budget for both solvers)."""
@@ -768,9 +783,9 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
     # Random and zero-order search denoise candidates with the configured
     # diffusion.sampler (searching over cheap second-order candidates
     # dominates ancestral ones at every fixed NFE budget, RESULTS.md
-    # "Axis 3"). Path search always forks the ancestral chain (its
-    # injection points are defined on it); gradient search differentiates
-    # through the DPM chain only when sampler=dpm (see its branch below).
+    # "Axis 3"). Path/pruned search denoise their SEGMENTS with the
+    # configured sampler too (ddim/dpm -> _cli_segment); gradient search
+    # differentiates through the DPM chain only when sampler=dpm.
     denoise_fn = lambda noise, k: run_sampler(cfg, sched, eps_fn, noise, k)
 
     if verifier_fn is None:
@@ -829,6 +844,7 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
             s.n_iterations * s.n_neighbors + 1)
     elif s.algorithm == "path":
         steps = tuple(s.injection_steps)
+        segment = _cli_segment(cfg, sched, eps_fn)
 
         @jax.jit
         def _run(k):
@@ -836,33 +852,35 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
                             n_paths=s.n_paths, n_active=s.n_active,
                             injection_steps=steps, delta_f=s.delta_f,
                             sharding=cand_sh,
-                            clip_denoised=cfg.diffusion.clip_denoised)
+                            clip_denoised=cfg.diffusion.clip_denoised,
+                            segment=segment)
             return (r.best_noise, r.best_score, r.best_images,
-                    r.history["scores"], r.history["final_scores"])
-        bn, bs, bi, sc, fsc = _run(key)
-        from ..search.algorithms import path_search_nfes
+                    r.history["scores"], r.history["final_scores"],
+                    r.nfes)
+        bn, bs, bi, sc, fsc, nfes = _run(key)
         res = SearchResult(
             bn, bs, bi,
             {"scores": sc, "final_scores": fsc,
              "injection_points": list(steps)},
-            path_search_nfes(sched.T, s.n_paths, steps, s.delta_f))
+            int(nfes))
     elif s.algorithm == "pruned":
         from ..search import pruned_search
-        from ..search.algorithms import pruned_search_nfes
         psched = tuple(tuple(int(v) for v in p) for p in s.prune_schedule)
+        segment = _cli_segment(cfg, sched, eps_fn)
 
         @jax.jit
         def _run(k):
             r = pruned_search(k, sched, eps_fn, verifier_fn, shape,
                               n_candidates=s.n_candidates,
                               prune_schedule=psched, sharding=cand_sh,
-                              clip_denoised=cfg.diffusion.clip_denoised)
+                              clip_denoised=cfg.diffusion.clip_denoised,
+                              segment=segment)
             # prune_scores is a tuple of static-shape arrays (one per
             # prune point) — returnable from jit alongside the finals
             return (r.best_noise, r.best_score, r.best_images,
                     r.history["final_scores"],
-                    tuple(r.history["prune_scores"]))
-        bn, bs, bi, fsc, psc = _run(key)
+                    tuple(r.history["prune_scores"]), r.nfes)
+        bn, bs, bi, fsc, psc, nfes = _run(key)
         # "scores" = the FULL initial pool's x0-hat scores (round 0), so
         # best-vs-median analyses see every candidate like the other
         # algorithms; survivors' final scores ride alongside
@@ -871,7 +889,7 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
             {"scores": (psc[0] if psc else fsc), "final_scores": fsc,
              "prune_scores": [np.asarray(a) for a in psc],
              "prune_schedule": list(psched)},
-            pruned_search_nfes(sched.T, s.n_candidates, psched))
+            int(nfes))
     elif s.algorithm == "gradient":
         init = jax.random.normal(jax.random.fold_in(key, 0), shape)
         # diffusion.sampler=dpm: differentiate through the solver chain

@@ -14,7 +14,10 @@ from .process import (
 )
 from .sampling import (
     ddim_sample,
+    ddim_segment,
+    dpm_segment,
     dpm_solver_sample,
+    make_segment_denoiser,
     parallel_picard_sample,
     sample,
     denoise_segment,
@@ -29,4 +32,5 @@ __all__ = [
     "p_sample_step", "predict_x0_from_eps", "cfg_combine", "make_cfg_eps_fn",
     "sample", "ddim_sample", "dpm_solver_sample", "parallel_picard_sample",
     "denoise_segment", "renoise", "sample_with_snapshots",
+    "ddim_segment", "dpm_segment", "make_segment_denoiser",
 ]

@@ -125,6 +125,186 @@ def renoise(sched: DiffusionSchedule, x_t: jnp.ndarray, t_now: int,
     return jnp.sqrt(ratio) * x_t + jnp.sqrt(1.0 - ratio) * eps
 
 
+def _segment_state_grid(t_from: int, t_to: int, num_steps: int,
+                        targets) -> "np.ndarray":
+    """Strictly decreasing state grid s_0=t_from > ... > s_n=t_to from a
+    host-side target sequence (uniform-t or uniform-lambda values snapped
+    to ints). Static (t_from, t_to, num_steps) => computed at trace time."""
+    import numpy as np
+
+    states = np.asarray(np.round(targets), dtype=np.int64)
+    states[0], states[-1] = t_from, t_to
+    # Repair only the INTERIOR: endpoints are pinned, and num_steps <=
+    # t_from - t_to guarantees the interior fits strictly between them.
+    for i in range(1, len(states) - 1):       # forward: strictly decreasing
+        states[i] = min(states[i], states[i - 1] - 1)
+    for i in range(len(states) - 2, 0, -1):   # backward: repair underflow
+        states[i] = max(states[i], states[i + 1] + 1)
+    assert states[0] == t_from and states[-1] == t_to
+    assert (np.diff(states) < 0).all(), states
+    return states
+
+
+def ddim_segment(sched: DiffusionSchedule, eps_fn: EpsFn, x_t: jnp.ndarray,
+                 key: jax.Array, t_from: int, t_to: int = 0, *,
+                 num_steps: int, eta: float = 0.0,
+                 clip_output: bool = False,
+                 clip_denoised: bool = False) -> jnp.ndarray:
+    """DDIM over a strided sub-range of the reverse chain: state x_{t_from}
+    -> x_{t_to} in ``num_steps`` model evals (vs t_from - t_to ancestral).
+
+    The segment primitive that composes the fast samplers with
+    search-over-paths / pruned search (docs/RESULTS.md Axis 3 shows
+    best-of-N over few-step candidates dominates at fixed NFE; this brings
+    the same trade to the forking searches, which the reference — ancestral
+    Python loops only, `Diffusion/Diffusion.py:84-102` — cannot express).
+    State convention as in `renoise`: state i has marginal abar[i-1].
+
+    ``clip_denoised`` clamps the per-step x0-hat to [-1,1] and re-derives
+    eps from the clamped estimate (the DDIM form of the reference's
+    clipped posterior) — bounds long extrapolative-CFG chains in bf16.
+    """
+    import numpy as np
+
+    assert 0 <= t_to < t_from <= sched.T, (t_from, t_to)
+    num_steps = max(1, min(num_steps, t_from - t_to))
+    states = _segment_state_grid(
+        t_from, t_to, num_steps,
+        np.linspace(t_from, t_to, num_steps + 1))
+    ab = np.asarray(sched.alphas_bar, np.float64)
+
+    def abar(s):
+        return 1.0 if s == 0 else ab[s - 1]
+
+    ab_cur = np.array([abar(s) for s in states[:-1]])
+    ab_nxt = np.array([abar(s) for s in states[1:]])
+    sigma = (eta * np.sqrt((1.0 - ab_nxt) / (1.0 - ab_cur))
+             * np.sqrt(np.clip(1.0 - ab_cur / ab_nxt, 0.0, None)))
+    dir_coeff = np.sqrt(np.clip(1.0 - ab_nxt - sigma ** 2, 0.0, None))
+    xs = tuple(jnp.asarray(v, jnp.float32) for v in (
+        states[:-1] - 1,                       # eps-eval timestep
+        np.sqrt(ab_cur), np.sqrt(1.0 - ab_cur),
+        np.sqrt(ab_nxt), dir_coeff, sigma))
+    xs = (xs[0].astype(jnp.int32),) + xs[1:]
+
+    def step(carry, per_step):
+        x, key = carry
+        t_i, sa_c, ss_c, sa_n, dc, sg = per_step
+        key, nkey = jax.random.split(key)
+        tb = jnp.full((x.shape[0],), t_i, dtype=jnp.int32)
+        eps = eps_fn(x, tb)
+        x0 = (x - ss_c * eps) / sa_c
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+            eps = (x - sa_c * x0) / jnp.maximum(ss_c, 1e-12)
+        noise = jax.random.normal(nkey, x.shape, x.dtype)
+        x = sa_n * x0 + dc * eps + sg * noise
+        return (x, key), None
+
+    (x, _), _ = lax.scan(step, (x_t, key), xs)
+    return jnp.clip(x, -1.0, 1.0) if clip_output else x
+
+
+def dpm_segment(sched: DiffusionSchedule, eps_fn: EpsFn, x_t: jnp.ndarray,
+                key: jax.Array, t_from: int, t_to: int = 0, *,
+                num_steps: int, clip_output: bool = False,
+                clip_denoised: bool = False) -> jnp.ndarray:
+    """DPM-Solver++(2M) over a sub-range: state x_{t_from} -> x_{t_to} in
+    ``num_steps`` evals on a uniform-log-SNR grid restricted to the
+    segment. Deterministic (``key`` unused; kept for signature uniformity
+    with the segment denoisers). See `ddim_segment` for why segments."""
+    import numpy as np
+
+    assert 0 <= t_to < t_from <= sched.T, (t_from, t_to)
+    num_steps = max(1, min(num_steps, t_from - t_to))
+    ab = np.asarray(sched.alphas_bar, np.float64)
+    lam_all = 0.5 * (np.log(ab) - np.log1p(-ab))
+
+    # uniform-lambda targets over the segment's REGULAR states (state 0 is
+    # lambda=+inf; when t_to==0 the final transition is the exact x0 step)
+    lo_state = max(t_to, 1)
+    n_reg = num_steps if t_to >= 1 else num_steps - 1
+    if n_reg >= 1:
+        lam_grid = np.linspace(lam_all[t_from - 1], lam_all[lo_state - 1],
+                               n_reg + 1)
+        tgt = [int(np.abs(lam_all - l).argmin()) + 1 for l in lam_grid]
+        reg = _segment_state_grid(t_from, lo_state, n_reg, tgt)
+    else:
+        reg = np.asarray([t_from], np.int64)
+    states = np.concatenate([reg, [0]]) if t_to == 0 else reg
+    ns = len(states) - 1                      # == num_steps
+
+    sig_c = np.sqrt(1.0 - ab[states[:-1] - 1])
+    alph_c = np.sqrt(ab[states[:-1] - 1])
+    lam_c = np.log(alph_c / sig_c)                 # per evaluated state
+    # lam of each TARGET state (inf at the clean target)
+    lam_n = np.array([np.inf if k == 0 else lam_all[k - 1]
+                      for k in states[1:]])
+    sr = np.zeros(ns)
+    an = np.ones(ns)
+    ph = np.full(ns, -1.0)
+    c1 = np.zeros(ns)
+    for j in range(ns):
+        k = states[j + 1]
+        if k > 0:
+            sr[j] = np.sqrt(1.0 - ab[k - 1]) / sig_c[j]
+            an[j] = np.sqrt(ab[k - 1])
+            ph[j] = np.expm1(-(lam_n[j] - lam_c[j]))
+        # else: clean target keeps (sr=0, an=1, ph=-1) => x lands on d
+        if 0 < j < ns - 1 and np.isfinite(lam_n[j]):
+            h_cur = lam_n[j] - lam_c[j]
+            h_prev = lam_c[j] - lam_c[j - 1]
+            if h_prev > 0:
+                c1[j] = 0.5 * h_cur / h_prev       # 2M multistep weight
+
+    xs = (jnp.asarray(states[:-1] - 1, jnp.int32),) + tuple(
+        jnp.asarray(v, jnp.float32)
+        for v in (sig_c, alph_c, sr, an, ph, c1))
+
+    def step(carry, per_step):
+        x, x0_prev = carry
+        t_i, sg, al, r, a, p, c = per_step
+        tb = jnp.full((x.shape[0],), t_i, dtype=jnp.int32)
+        eps = eps_fn(x, tb)
+        x0 = (x - sg * eps) / al
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        d = x0 + c * (x0 - x0_prev)
+        x = r * x - a * p * d
+        return (x, x0), None
+
+    (x, _), _ = lax.scan(step, (x_t, jnp.zeros_like(x_t)), xs)
+    return jnp.clip(x, -1.0, 1.0) if clip_output else x
+
+
+def make_segment_denoiser(sched: DiffusionSchedule, eps_fn: EpsFn,
+                          sampler: str = "ddpm", num_steps: int = 50,
+                          clip_denoised: bool = False):
+    """(denoise_seg, cost) pair for the forking searches.
+
+    ``denoise_seg(x, key, t_from, t_to, clip_output=False)`` runs the
+    chosen sampler over the segment; ``cost(t_from, t_to)`` returns its
+    model-eval count (static — callers account NFE with it). ``num_steps``
+    is the FULL-chain budget; a segment gets a proportional share, so NFE
+    accounting stays comparable with `diffusion.ddim_steps` semantics.
+    """
+    if sampler == "ddpm":
+        fn = lambda x, k, hi, lo, clip_output=False: denoise_segment(
+            sched, eps_fn, x, k, hi, lo, clip_output=clip_output,
+            clip_denoised=clip_denoised)
+        return fn, lambda hi, lo: hi - lo
+    seg = {"ddim": ddim_segment, "dpm": dpm_segment}[sampler]
+
+    def cost(hi, lo):
+        return max(1, min(round(num_steps * (hi - lo) / sched.T), hi - lo))
+
+    def fn(x, k, hi, lo, clip_output=False):
+        return seg(sched, eps_fn, x, k, hi, lo, num_steps=cost(hi, lo),
+                   clip_output=clip_output, clip_denoised=clip_denoised)
+
+    return fn, cost
+
+
 def ddim_sample(sched: DiffusionSchedule, eps_fn: EpsFn, x_T: jnp.ndarray,
                 key: jax.Array, *, num_steps: int = 50, eta: float = 0.0,
                 clip_output: bool = True) -> jnp.ndarray:

@@ -38,7 +38,8 @@ import optax
 from jax import lax
 
 from ..core.process import EpsFn, predict_x0_from_eps
-from ..core.sampling import denoise_segment, renoise, sample
+from ..core.sampling import (denoise_segment, make_segment_denoiser,
+                             renoise, sample)
 from ..core.schedules import DiffusionSchedule
 
 # denoise_fn(noise [B,...], key) -> images [B,...]
@@ -209,6 +210,7 @@ def path_search(
     return_images: bool = True,
     sharding=None,
     clip_denoised: bool = False,
+    segment=None,
 ) -> SearchResult:
     """Search over paths (paper §"beyond scaling denoising steps"; reference
     C12 intended this but ships a placeholder, `search_algorithm.py:305-334`).
@@ -232,6 +234,14 @@ def path_search(
     pipeline of scan segments; selection is on-device top-k.
     """
     assert n_paths % n_active == 0 and n_paths >= n_active
+    # ``segment`` = (denoise_seg, cost) from `make_segment_denoiser`: lets
+    # the forking search ride the fast samplers (DDIM/DPM segments) — the
+    # Axis-3 result (best-of-N over few-step candidates dominates at fixed
+    # NFE) applied to path search. Default: ancestral, exact as before.
+    if segment is None:
+        segment = make_segment_denoiser(sched, eps_fn, "ddpm",
+                                        clip_denoised=clip_denoised)
+    seg_fn, seg_cost = segment
     expand = n_paths // n_active
     steps = sorted(set(int(s) for s in injection_steps), reverse=True)
     assert all(0 < s < sched.T for s in steps)
@@ -253,9 +263,8 @@ def path_search(
     for t_inj in steps:
         kd, ks, key = jax.random.split(key, 3)
         # Denoise all paths down to the injection point (one batched scan).
-        x = denoise_segment(sched, eps_fn, x, kd, t_from=t_prev, t_to=t_inj,
-                            clip_denoised=clip_denoised)
-        nfes += n_paths * (t_prev - t_inj) / sched.T
+        x = seg_fn(x, kd, t_prev, t_inj)
+        nfes += n_paths * seg_cost(t_prev, t_inj) / sched.T
         # Score the predicted clean image x0-hat at the current noise level
         # (one extra model eval per path — far cheaper than denoising to 0).
         tb = jnp.full((x.shape[0],), t_inj - 1, dtype=jnp.int32)
@@ -273,9 +282,8 @@ def path_search(
                     t_inj, t_prev, ks)
 
     kf, _ = jax.random.split(key)
-    x = denoise_segment(sched, eps_fn, x, kf, t_from=t_prev, t_to=0,
-                        clip_output=True, clip_denoised=clip_denoised)
-    nfes += n_paths * t_prev / sched.T
+    x = seg_fn(x, kf, t_prev, 0, clip_output=True)
+    nfes += n_paths * seg_cost(t_prev, 0) / sched.T
     finals = per_path(x)
     final_scores = jax.vmap(verifier_fn)(finals)
     best = jnp.argmax(_nan_to_neg_inf(final_scores))
@@ -314,6 +322,7 @@ def pruned_search(
     return_images: bool = True,
     sharding=None,
     clip_denoised: bool = False,
+    segment=None,
 ) -> SearchResult:
     """Progressive candidate pruning — successive halving over noise.
 
@@ -350,6 +359,12 @@ def pruned_search(
         n_now = keep
 
     noise_shape = tuple(noise_shape)
+    # fast-sampler segments: see path_search (same (fn, cost) contract)
+    if segment is None:
+        segment = make_segment_denoiser(sched, eps_fn, "ddpm",
+                                        clip_denoised=clip_denoised)
+    seg_fn, seg_cost = segment
+    eval_units = 0.0
 
     def shard(a):
         # constrain the folded candidate axis onto the mesh only while it
@@ -372,8 +387,8 @@ def pruned_search(
     t_prev = sched.T
     for t_p, keep in sched_pairs:
         kd, key = jax.random.split(key)
-        x = denoise_segment(sched, eps_fn, x, kd, t_from=t_prev, t_to=t_p,
-                            clip_denoised=clip_denoised)
+        x = seg_fn(x, kd, t_prev, t_p)
+        eval_units += n_now * (seg_cost(t_prev, t_p) + 1) / sched.T
         tb = jnp.full((x.shape[0],), t_p - 1, dtype=jnp.int32)
         eps = eps_fn(x, tb)
         x0_hat = jnp.clip(predict_x0_from_eps(sched, x, tb, eps), -1, 1)
@@ -386,8 +401,8 @@ def pruned_search(
         t_prev = t_p
 
     kf, _ = jax.random.split(key)
-    x = denoise_segment(sched, eps_fn, x, kf, t_from=t_prev, t_to=0,
-                        clip_output=True, clip_denoised=clip_denoised)
+    x = seg_fn(x, kf, t_prev, 0, clip_output=True)
+    eval_units += n_now * seg_cost(t_prev, 0) / sched.T
     finals = per_cand(x, n_now)
     final_scores = jax.vmap(verifier_fn)(finals)
     best = jnp.argmax(_nan_to_neg_inf(final_scores))
@@ -398,7 +413,7 @@ def pruned_search(
         history={"prune_scores": score_log,
                  "final_scores": final_scores,
                  "prune_schedule": sched_pairs},
-        nfes=pruned_search_nfes(sched.T, n_candidates, sched_pairs),
+        nfes=int(round(eval_units)),
     )
 
 
