@@ -59,6 +59,11 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="smallest budgets only (CPU smoke)")
     ap.add_argument("--plot-only", action="store_true")
+    ap.add_argument("--T", type=int, default=None,
+                    help="SMOKE ONLY: override chain length for a CPU "
+                         "pipeline validation (mismatched with the "
+                         "trained schedule -> image quality is garbage; "
+                         "never use for a reported measurement)")
     args = ap.parse_args()
 
     out_json = os.path.join(RESULTS, "guard_sweep.json")
@@ -86,8 +91,11 @@ def main():
     params = _bench.load_artifact_params("shapes32_uncond")
     assert params is not None, "artifacts/shapes32_uncond missing"
     model, _ = ta.build_unet("shapes32_uncond")
-    T = ta.TRAIN_T
+    T = args.T or ta.TRAIN_T
     sched = linear_schedule(1e-4, 0.02, T)
+    if args.T:
+        out_json = os.path.join(RESULTS, "guard_sweep_smoke.json")
+        note(f"SMOKE T={T}: writing to {out_json}, not the real result")
     eps_fn = lambda x, t: model.apply(params, x, t)
 
     logit_fn, _, _ = load_classifier(
@@ -202,7 +210,8 @@ def main():
                             injection_steps=inj, delta_f=delta_f)
             nfe = path_search_nfes(T, budget, inj, delta_f)
         else:  # pruned successive halving from `budget` starts
-            psched = tuple((t_p, max(2, budget >> (i + 1)))
+            psched = tuple((max(1, t_p * T // ta.TRAIN_T),
+                            max(2, budget >> (i + 1)))
                            for i, t_p in enumerate((700, 400, 150)))
             r = pruned_search(key, sched, eps_fn, verifier, shape,
                               n_candidates=budget, prune_schedule=psched)

@@ -227,20 +227,27 @@ def probe_train_batches(batches, remat: bool) -> list:
     model = UNet(cfg)
     sched = linear_schedule(1e-4, 0.02, 1000)
     limit = mem_stats().get("bytes_limit") or V5E_HBM_BYTES
+    tx = make_optimizer(OptimizerConfig(lr=1e-4, epochs=50,
+                                        steps_per_epoch=100))
+    # Fully ABSTRACT probe: params/state/batch are ShapeDtypeStructs into
+    # `.lower()` — an over-HBM batch must report its demand, so nothing
+    # here may touch the device (a concrete `model.init` at batch=64
+    # would itself OOM before the analysis ran).
+    state_abs = jax.eval_shape(
+        lambda: create_train_state(
+            model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((2, 256, 256, 3), jnp.float32),
+                       jnp.zeros((2,), jnp.int32)), tx))
+    step = make_train_step(
+        lambda p, *a, **kw: model.apply(p, *a, **kw), sched, tx)
+    key_abs = jax.eval_shape(lambda: jax.random.PRNGKey(9))
     rows = []
     for b in batches:
-        x = jnp.zeros((b, 256, 256, 3), jnp.float32)
-        params = model.init(jax.random.PRNGKey(0), x,
-                            jnp.zeros((b,), jnp.int32))
-        tx = make_optimizer(OptimizerConfig(lr=1e-4, epochs=50,
-                                            steps_per_epoch=100))
-        state = create_train_state(params, tx)
-        step = make_train_step(
-            lambda p, *a, **kw: model.apply(p, *a, **kw), sched, tx)
-        batch_d = {"image": jnp.zeros(x.shape)}
+        batch_abs = {"image": jax.ShapeDtypeStruct((b, 256, 256, 3),
+                                                   jnp.float32)}
         note(f"[mem-probe remat={remat}] compiling train step batch={b} ...")
         t0 = time.perf_counter()
-        ma = mem_analysis(step, state, batch_d, jax.random.PRNGKey(9))
+        ma = mem_analysis(step, state_abs, batch_abs, key_abs)
         row = {"batch": b, "remat": remat,
                "compile_s": round(time.perf_counter() - t0, 1), **ma}
         if "resident_total_bytes" in ma:
@@ -249,7 +256,6 @@ def probe_train_batches(batches, remat: bool) -> list:
                  f"{ma['resident_total_gb']} GB resident "
                  f"({'fits' if row['fits_16gb'] else 'OVER'})")
         rows.append(row)
-        del state, params
         if not row.get("fits_16gb", True):
             break
     return rows

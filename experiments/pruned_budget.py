@@ -41,6 +41,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=20)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--T", type=int, default=None,
+                    help="SMOKE ONLY: override chain length for a CPU "
+                         "pipeline validation (mismatched with the "
+                         "trained schedule -> scores are meaningless; "
+                         "never use for a reported measurement)")
     args = ap.parse_args()
 
     from itsd_tpu.utils import enable_compilation_cache
@@ -62,7 +67,7 @@ def main():
     params = _bench.load_artifact_params("shapes32_uncond")
     assert params is not None, "artifacts/shapes32_uncond missing"
     model, _ = ta.build_unet("shapes32_uncond")
-    sched = linear_schedule(1e-4, 0.02, ta.TRAIN_T)
+    sched = linear_schedule(1e-4, 0.02, args.T or ta.TRAIN_T)
     eps_fn = lambda x, t: model.apply(params, x, t)
 
     logit_fn, _, _ = load_classifier(
@@ -76,6 +81,9 @@ def main():
     fid_proxy = make_fid_proxy(jnp.asarray(images[-512:]))
 
     PSCHED = ((700, 8), (400, 4), (150, 2))
+    if args.T:  # smoke: scale the prune points into the shortened chain
+        PSCHED = tuple((max(1, t * args.T // ta.TRAIN_T), k)
+                       for t, k in PSCHED)
     N_START = 16
     nfe_pruned = pruned_search_nfes(sched.T, N_START, PSCHED)
     note(f"pruned NFE = {nfe_pruned} full-denoise units (best-of-16 = 16)")
@@ -146,7 +154,9 @@ def main():
         "wall_s": round(time.time() - t0, 1),
         "per_seed": rows,
     }
-    path = os.path.join(RESULTS, "pruned_budget.json")
+    path = os.path.join(
+        RESULTS,
+        "pruned_budget_smoke.json" if args.T else "pruned_budget.json")
     with open(path, "w") as f:
         json.dump(summary, f, indent=1)
     note(json.dumps(summary["E_best"]))

@@ -75,6 +75,9 @@ def run_matrix(out_path: str):
     if os.environ.get("ITSD_VIT_MATRIX_SMOKE") == "1":  # CPU plumbing test
         scales = {"vit32_p4_e768_d12": dict(img=16, patch=8, batch=2)}
         emb, depth, heads = 16, 2, 2
+        # never contaminate the real result file with smoke rows (the
+        # resumable skip would then mask them on the real TPU run)
+        out_path = out_path.replace(".json", "_smoke.json")
     variants = [
         dict(dropout=0.0, prng="threefry", remat=False),
         dict(dropout=0.0, prng="threefry", remat=True),

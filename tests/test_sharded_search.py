@@ -80,3 +80,32 @@ def test_pruned_search_sharded_matches_unsharded(key):
     np.testing.assert_allclose(np.asarray(res_plain.best_images),
                                np.asarray(res_shard.best_images),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_segment_searches_sharded_match_unsharded(key):
+    """Fast-sampler segments (make_segment_denoiser) preserve the
+    sharded==unsharded contract for both forking searches."""
+    from itsd_tpu.core import make_segment_denoiser
+    from itsd_tpu.search import path_search, pruned_search
+    mesh = make_mesh(axis_names=("data",))
+    sh = candidate_sharding(mesh)
+    eps_fn = lambda x, t: 0.1 * x
+    for sampler in ("ddim", "dpm"):
+        seg = make_segment_denoiser(SCHED, eps_fn, sampler, num_steps=4)
+        kw = dict(n_paths=8, n_active=2, injection_steps=(4,), delta_f=2,
+                  noise_shape=(1, 8, 8, 3), segment=seg)
+        a = path_search(key, SCHED, eps_fn, _verifier, **kw)
+        b = path_search(key, SCHED, eps_fn, _verifier, sharding=sh, **kw)
+        np.testing.assert_allclose(
+            np.asarray(a.history["final_scores"]),
+            np.asarray(b.history["final_scores"]), rtol=1e-5, atol=1e-6)
+        assert a.nfes == b.nfes
+
+        kw = dict(n_candidates=8, prune_schedule=((5, 4), (3, 2)),
+                  noise_shape=(1, 8, 8, 3), segment=seg)
+        a = pruned_search(key, SCHED, eps_fn, _verifier, **kw)
+        b = pruned_search(key, SCHED, eps_fn, _verifier, sharding=sh, **kw)
+        np.testing.assert_allclose(
+            np.asarray(a.history["final_scores"]),
+            np.asarray(b.history["final_scores"]), rtol=1e-5, atol=1e-6)
+        assert a.nfes == b.nfes
