@@ -174,6 +174,13 @@ def main():
                                          env_extra) else "failed"
 
     print(json.dumps(results, indent=1))
+    failed = [k for k, v in results.items() if v == "failed"]
+    if failed:
+        # Unstamped failures (e.g. flagship_train hitting its subprocess
+        # timeout mid-run) are resumable — exit nonzero so the outer watch
+        # loop retries them until the window deadline instead of stopping.
+        note(f"window attempted; failed steps will retry: {failed}")
+        sys.exit(4)
     note("window complete")
 
 
