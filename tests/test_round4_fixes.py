@@ -289,3 +289,31 @@ def test_load_dataset_memoized():
                                   "data.seed=1"])
     c_img, _ = load_dataset(cfg2)
     assert c_img is not a_img
+
+
+# ---------------------------------------------------------------------------
+# ITSD_PLATFORM escape hatch: this machine's TPU-relay site hook
+# force-selects the axon platform via jax.config at interpreter start, so
+# env JAX_PLATFORMS=cpu alone does NOT switch backends — when the relay is
+# down every device touch hangs in the plugin's retry loop. Importing
+# itsd_tpu with ITSD_PLATFORM=cpu must re-honor the request before any
+# backend initializes. Subprocess test: the override only matters at
+# interpreter start (this process already forced CPU in conftest).
+
+
+def test_itsd_platform_env_forces_cpu():
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, ITSD_PLATFORM="cpu",
+               ITSD_NO_COMPILATION_CACHE="1")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import itsd_tpu, jax; "
+         "print([d.platform for d in jax.devices()])"],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "cpu" in r.stdout, r.stdout
