@@ -15,6 +15,7 @@ Steps (VERDICT r3 "next round" items 1/2/4/5/6/8):
   bench_smoke      BENCH_T=50 bench.py end-to-end (relay-proofing in anger)
   pruned_budget    equal-NFE pruned-vs-best-of-N, 20 seeds
   mem256           256x256 train memory quantification + remat A/B
+  flash_tune       flash-attention block-size sweep at the flagship shape
   vit_large        DiT-scale ViT remat/rbg MFU matrix
   guard_sweep      verifier-hacking budget-sweep curves
   flagship_train   ch=128 256x256 flagship training (segmented/resumable)
@@ -128,6 +129,8 @@ def main():
          [PY, os.path.join(exp, "perf_imagenet256.py"), "--skip-sampler",
           "--remat-ab", "--mem-batches", "8,16,24,32,48,64", "--merge"],
          3600, None),
+        ("flash_tune",
+         [PY, os.path.join(exp, "flash_tune.py")], 2700, None),
         ("vit_large",
          [PY, os.path.join(exp, "vit_mfu_probe.py"), "--matrix"],
          4800, None),
