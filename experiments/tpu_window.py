@@ -139,7 +139,11 @@ def main():
          7200, None),
         ("flagship_train",
          [PY, os.path.join(exp, "train_artifacts.py"), "--only",
-          "shapes256_flagship", "--steps256", str(args.flagship_steps)],
+          "shapes256_flagship", "--steps256", str(args.flagship_steps),
+          # batch 8 is the MEASURED ch=128 operating point (293 ms/step,
+          # docs/results/imagenet256.json); batch 16 is asserted
+          # memory-limited and must not be discovered mid-window
+          "--batch256", "8"],
          10800, None),
         ("flagship_search",
          [PY, os.path.join(exp, "flagship256_search.py"), "--arch",

@@ -61,6 +61,9 @@ ARCHS = {
                                num_labels=None),
 }
 TRAIN_T = 1000
+# full-state resume checkpoint cadence (steps); module-level so the CPU
+# smoke test can shrink it and exercise the crash->resume path for real
+RESUME_EVERY = 1000
 
 
 def build_unet(name, dtype="bfloat16", attention_impl="auto"):
@@ -186,7 +189,8 @@ def train_diffusion(name, steps, batch, seed=0):
     # at every down stage, 4096 tokens at stage 0) runs minutes per 500
     # steps, which trips the TPU-worker watchdog; 256x256 steps are ~10x a
     # 64x64 step again
-    chunk = 500 if a["img"] <= 32 else (100 if a["img"] <= 64 else 50)
+    chunk = a.get("chunk") or (
+        500 if a["img"] <= 32 else (100 if a["img"] <= 64 else 50))
     done = start
     last_saved = start
     while done < steps:
@@ -206,7 +210,7 @@ def train_diffusion(name, steps, batch, seed=0):
         lossN = float(losses[-1])
         note(f"{name}: step {done} loss {lossN:.4f} "
              f"({(done-start)/(time.time()-t0):.1f} steps/s)")
-        if done - last_saved >= 1000 and done < steps:
+        if done - last_saved >= RESUME_EVERY and done < steps:
             import shutil
             tmp = resume_path + ".new"
             shutil.rmtree(tmp, ignore_errors=True)

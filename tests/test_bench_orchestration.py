@@ -155,3 +155,32 @@ def test_deadline_exhaustion_reports_missing_workloads(bench, monkeypatch,
     rec = run_main(bench, capsys)
     assert rec["value"] is None
     assert "error" in rec["detail"]
+
+
+def test_null_capture_carries_last_known_good_evidence(bench, monkeypatch,
+                                                       capsys):
+    """When the live capture fails entirely, the record must still point
+    at the latest non-null driver capture and the committed builder
+    measurements — labeled by provenance, never substituted for value."""
+    monkeypatch.setenv("BENCH_DEADLINE_S", "0")
+    monkeypatch.setattr(
+        bench, "_run_worker",
+        lambda n, t: (_ for _ in ()).throw(AssertionError("no worker")))
+    rec = run_main(bench, capsys)
+    assert rec["value"] is None  # evidence never fakes a live number
+    lkg = rec["detail"]["last_known_good"]
+    # repo has BENCH_r02.json (non-null) and BENCH_r03.json (null):
+    # the scan must pick the newest NON-null record
+    assert lkg["last_driver_capture"]["record"] == "BENCH_r02.json"
+    assert lkg["last_driver_capture"]["value"] is not None
+    assert "driver-captured in an earlier round" in \
+        lkg["last_driver_capture"]["provenance"]
+    assert "imagenet256.json" in lkg["builder_measurements"]["files"]
+
+    # ...and a successful capture does NOT carry the fallback section
+    monkeypatch.setenv("BENCH_DEADLINE_S", "30")
+    monkeypatch.setattr(bench, "_run_worker",
+                        lambda n, t: (True, {"images_per_sec": 1.0}))
+    rec2 = run_main(bench, capsys)
+    assert rec2["value"] == 1.0
+    assert "last_known_good" not in rec2["detail"]

@@ -1,0 +1,165 @@
+"""CPU smoke tests for the TPU-window measurement scripts.
+
+The chip window is a scarce resource (the relay flaps for hours —
+BENCH_r03 died to one outage), so every script `experiments/tpu_window.py`
+queues must have its WIRING proven on CPU before it ever runs on-chip: a
+typo discovered mid-window wastes real chip time. These tests drive the
+actual code paths with tiny shapes:
+
+  * train_artifacts.train_diffusion end-to-end (train -> bf16 artifact +
+    meta + sample grid), including a real crash->resume cycle through the
+    segment-checkpoint path the flagship run depends on,
+  * the shapes256_flagship arch spec builds the reference's exact width
+    (~108M params — config/config.yaml:17-31) without touching a device,
+  * perf_imagenet256's window invocation (--skip-sampler --remat-ab
+    --mem-batches --merge) flows every flag to the right measurement and
+    merges into an existing result file,
+  * the compile-only abstract-lowering memory probe works against XLA's
+    buffer assignment on this backend.
+"""
+
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import experiments.perf_imagenet256 as pi  # noqa: E402
+import experiments.train_artifacts as ta  # noqa: E402
+
+
+@pytest.fixture()
+def tiny_env(tmp_path, monkeypatch):
+    """Redirect every artifact/result path into tmp and register a
+    CPU-sized arch that exercises the same code path as the flagship."""
+    monkeypatch.setattr(ta, "ARTIFACTS", str(tmp_path / "artifacts"))
+    monkeypatch.setattr(ta, "REPO", str(tmp_path))
+    (tmp_path / "docs" / "results").mkdir(parents=True)
+    monkeypatch.setattr(ta, "TRAIN_T", 10)
+    monkeypatch.setattr(ta, "RESUME_EVERY", 2)
+    monkeypatch.setitem(
+        ta.ARCHS, "tiny_smoke",
+        dict(img=16, ch=8, ch_mult=(1, 2), attn=(), num_res_blocks=1,
+             dropout=0.1, num_labels=None, chunk=2))
+    return tmp_path
+
+
+@pytest.mark.slow
+def test_train_artifacts_end_to_end_with_crash_resume(tiny_env, monkeypatch):
+    notes = []
+    monkeypatch.setattr(ta, "note", notes.append)
+
+    # crash AFTER the train loop but BEFORE the artifact lands — exactly
+    # what a relay flap at the end of a segment does
+    real_save = ta.save_bf16
+
+    def exploding_save(path, params):
+        raise RuntimeError("injected relay flap")
+
+    monkeypatch.setattr(ta, "save_bf16", exploding_save)
+    with pytest.raises(RuntimeError, match="injected relay flap"):
+        ta.train_diffusion("tiny_smoke", steps=5, batch=4)
+    resume = os.path.join(ta.ARTIFACTS, "tiny_smoke.resume")
+    assert os.path.isdir(resume), \
+        "segment checkpoint must survive a crash (saved at step 4)"
+
+    # second invocation must RESUME (not restart) and finish cleanly
+    monkeypatch.setattr(ta, "save_bf16", real_save)
+    ta.train_diffusion("tiny_smoke", steps=5, batch=4)
+    assert any("resuming from step 4" in n for n in notes), notes
+
+    meta = json.load(open(os.path.join(ta.ARTIFACTS, "tiny_smoke.json")))
+    assert np.isfinite(meta["loss_final"]) and meta["steps"] == 5
+    assert meta["dtype_saved"] == "bfloat16"
+    assert os.path.isdir(os.path.join(ta.ARTIFACTS, "tiny_smoke"))
+    assert not os.path.isdir(resume), "resume dir must be cleaned up"
+    grid = os.path.join(str(tiny_env), "docs", "results",
+                        "artifact_tiny_smoke_sampled.png")
+    assert os.path.isfile(grid)
+
+    # the saved artifact must round-trip through the product loader
+    from itsd_tpu.train.checkpoint import restore_params
+    model, _ = ta.build_unet("tiny_smoke")
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    template = jax.eval_shape(model.init, jax.random.PRNGKey(0), x,
+                              jnp.zeros((1,), jnp.int32))
+    params = restore_params(os.path.join(ta.ARTIFACTS, "tiny_smoke"),
+                            template)
+    f32 = jax.tree.map(lambda p: jnp.asarray(p, jnp.float32), params)
+    out = model.apply(f32, x, jnp.zeros((1,), jnp.int32))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flagship_arch_is_the_reference_exact_width():
+    """shapes256_flagship must be the reference flagship
+    (/root/reference/config/config.yaml:17-31: ch=128, (1,2,3,4),
+    attn@stage2, dropout 0.15) — ~108M params. eval_shape only: no
+    device work, so this guards the window step even relay-down."""
+    model, conditional = ta.build_unet("shapes256_flagship")
+    assert not conditional
+    x = jnp.zeros((2, 256, 256, 3), jnp.float32)
+    t = jnp.zeros((2,), jnp.int32)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t)
+    n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+    assert 80e6 < n < 140e6, f"flagship width changed: {n/1e6:.1f}M params"
+    a = ta.ARCHS["shapes256_flagship"]
+    assert a["ch"] == 128 and tuple(a["ch_mult"]) == (1, 2, 3, 4)
+    assert tuple(a["attn"]) == (2,) and a["dropout"] == 0.15
+
+
+def test_perf256_window_invocation_flows_and_merges(tmp_path, monkeypatch):
+    """The exact argv tpu_window.py uses for the mem256 step, with the
+    measurements stubbed: every flag must reach the right function and
+    --merge must keep fields from a previous partial run."""
+    out = tmp_path / "imagenet256.json"
+    out.write_text(json.dumps({
+        "sampler": {"flash": {"ms_per_model_eval": 62.47}},
+        "train_step": {"stale": True},
+    }))
+    calls = []
+    monkeypatch.setattr(
+        pi, "measure_sampler",
+        lambda *a, **k: pytest.fail("--skip-sampler must skip the sampler"))
+    monkeypatch.setattr(
+        pi, "measure_train_step",
+        lambda batch, remat=False: (calls.append(("train", batch, remat))
+                                    or {"batch": batch, "remat": remat}))
+    monkeypatch.setattr(
+        pi, "probe_train_batches",
+        lambda batches, remat: (calls.append(("probe", tuple(batches),
+                                              remat))
+                                or [{"batch": b, "remat": remat,
+                                     "fits_16gb": True} for b in batches]))
+    monkeypatch.setattr(sys, "argv", [
+        "perf_imagenet256.py", "--skip-sampler", "--remat-ab",
+        "--mem-batches", "8,16,24,32,48,64", "--merge",
+        "--out", str(out)])
+    pi.main()
+
+    rep = json.loads(out.read_text())
+    # merged: the committed sampler numbers survive a train-only rerun
+    assert rep["sampler"]["flash"]["ms_per_model_eval"] == 62.47
+    assert rep["train_step"] == {"batch": 8, "remat": False}
+    assert rep["train_step_remat"] == {"batch": 8, "remat": True}
+    sweep = rep["train_memory_sweep"]
+    assert {r["remat"] for r in sweep} == {False, True}
+    assert ("probe", (8, 16, 24, 32, 48, 64), False) in calls
+    assert ("probe", (8, 16, 24, 32, 48, 64), True) in calls
+
+
+def test_abstract_memory_probe_reads_buffer_assignment():
+    """probe_train_batches leans on lowering a jitted step over
+    ShapeDtypeStructs and reading Compiled.memory_analysis(); prove that
+    contract on this backend with a toy function."""
+    f = jax.jit(lambda x: (x @ x).sum())
+    ma = pi.mem_analysis(f, jax.ShapeDtypeStruct((64, 64), jnp.float32))
+    assert "error" not in ma, ma
+    assert ma["resident_total_bytes"] > 0
+    assert ma["argument_size_in_bytes"] >= 64 * 64 * 4
