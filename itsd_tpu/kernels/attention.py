@@ -269,8 +269,14 @@ def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dd_ref,
 
 
 def _attention_flash_bwd(q, k, v, o, lse, do, scale, block_q=0,
-                         block_k=0, interpret=False):
-    """Blockwise flash backward: O(block) memory, no score matrix in HBM."""
+                         block_k=0, interpret=False, dlse=None):
+    """Blockwise flash backward: O(block) memory, no score matrix in HBM.
+
+    ``dlse`` (optional ``[B, N, 1]``) is the cotangent of the per-row
+    log-sum-exp when the caller consumed it (ring attention's merge does).
+    Since d(lse)/ds = p, it folds into the existing kernels exactly:
+    ds = p*(dp - dd) + p*dlse = p*(dp - (dd - dlse)).
+    """
     B, N, C = q.shape
     block_q = min(block_q or _pick_block(N, (512, 256, 128)), N)
     block_k = min(block_k or _pick_block(N, (1024, 512, 256, 128)), N)
@@ -279,6 +285,8 @@ def _attention_flash_bwd(q, k, v, o, lse, do, scale, block_q=0,
     # D_i = rowsum(dO * O) (the softmax-jacobian diagonal term)
     dd = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                  axis=-1, keepdims=True)  # [B, N, 1]
+    if dlse is not None:
+        dd = dd - dlse.astype(jnp.float32).reshape(B, N, 1)
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale,
