@@ -48,6 +48,14 @@ from ..utils.plotting import plot_loss_curve, plot_metrics_curves
 
 def build_model(cfg: Config):
     m = cfg.model
+    if m.attention_impl == "ring":
+        # sequence-parallel attention needs a mesh with a 'seq' axis; when
+        # the caller hasn't registered one, default to the latency-serving
+        # layout (tokens over every visible device) — on one chip the ring
+        # degenerates to a single hop
+        from ..parallel import default_seq_mesh, get_seq_mesh, set_seq_mesh
+        if get_seq_mesh() is None:
+            set_seq_mesh(default_seq_mesh())
     if m.backbone == "vit":
         vcfg = ViTConfig(img_size=cfg.data.img_size, patch_size=m.patch_size,
                          embed_dim=m.embed_dim, depth=m.depth,

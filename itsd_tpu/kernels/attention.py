@@ -363,6 +363,36 @@ def _flash_diff_bwd(scale, res, g):
 _flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
+def _ring_dispatch(q, k, v, interpret: bool = False):
+    """Sequence-parallel path: tokens shard over the registered seq mesh
+    (`parallel.set_seq_mesh`) or the ambient ``with mesh:`` context when it
+    carries a 'seq' axis. Returns None when no usable mesh is available or
+    the token count does not tile — callers fall back loudly."""
+    from ..parallel import get_seq_mesh
+    from .ring_attention import sequence_sharded_attention
+
+    mesh = get_seq_mesh()
+    if mesh is None:
+        try:
+            from jax.interpreters import pxla
+            env = pxla.thread_resources.env.physical_mesh
+            if env is not None and not env.empty and "seq" in env.axis_names:
+                mesh = env
+        except Exception:
+            mesh = None
+    if mesh is None or "seq" not in mesh.axis_names:
+        return None
+    if q.shape[1] % mesh.shape["seq"]:
+        return None
+    batch_axis = None
+    if ("data" in mesh.axis_names and mesh.shape["data"] > 1
+            and q.shape[0] % mesh.shape["data"] == 0):
+        batch_axis = "data"
+    return sequence_sharded_attention(q, k, v, mesh, axis="seq",
+                                      batch_axis=batch_axis,
+                                      interpret=interpret)
+
+
 def spatial_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       impl: str = "auto",
                       interpret: bool = False) -> jnp.ndarray:
@@ -371,7 +401,10 @@ def spatial_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Args:
       q, k, v: ``[B, N, C]`` (N = H*W). Scale is ``C**-0.5`` exactly as the
         reference (`Diffusion/Model.py:154`).
-      impl: "xla" | "flash" | "auto".
+      impl: "xla" | "flash" | "ring" | "auto". "ring" shards the token
+        axis over the registered seq mesh (sequence parallelism — exact,
+        see `kernels/ring_attention.py`), falling back to "xla" with a
+        warning when no mesh is registered or the tokens don't tile.
     """
     C = q.shape[-1]
     scale = float(C) ** -0.5
@@ -380,6 +413,9 @@ def spatial_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         env = os.environ.get("ITSD_ATTN_IMPL", "auto")
         if env == "xla":
             return _attention_xla(q, k, v, scale)
+        if env == "ring":
+            return spatial_attention(q, k, v, impl="ring",
+                                     interpret=interpret)
         # env "flash"/"auto": flash when the shape tiles, xla otherwise
         if (_HAS_PLTPU and jax.default_backend() == "tpu"
                 and _flash_eligible(q.shape[1], C)):
@@ -391,6 +427,16 @@ def spatial_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         if interpret:
             return _attention_flash(q, k, v, scale, interpret=True)
         return _flash_attention_diff(scale, q, k, v)
+    if impl == "ring":
+        out = _ring_dispatch(q, k, v, interpret=interpret)
+        if out is not None:
+            return out
+        import warnings
+        warnings.warn(
+            "attention_impl=ring: no mesh with a 'seq' axis is registered "
+            "(parallel.set_seq_mesh) or the token count does not tile over "
+            "it — falling back to the XLA path", stacklevel=2)
+        return _attention_xla(q, k, v, scale)
     raise ValueError(f"unknown attention impl: {impl!r}")
 
 

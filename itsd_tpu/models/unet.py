@@ -51,7 +51,7 @@ class UNetConfig:
     up_attn: bool = True                  # conditional ref sets False
     down_type: str = "conv"               # "conv" | "dual_conv"
     up_type: str = "nearest_conv"         # "nearest_conv" | "transpose_conv"
-    attention_impl: str = "auto"          # "auto" | "xla" | "flash"
+    attention_impl: str = "auto"          # "auto" | "xla" | "flash" | "ring"
     dtype: str = "float32"                # compute dtype ("bfloat16" on TPU)
     # per-ResBlock rematerialisation: recompute block activations in the
     # backward pass — trades dW-conv FLOPs for the HBM that caps the

@@ -57,6 +57,35 @@ def maybe_initialize_distributed(**kwargs) -> bool:
     return True
 
 
+# --- sequence-parallel mesh registry -------------------------------------
+# `model.attention_impl=ring` shards the token axis of every attention op
+# over the 'seq' axis of the mesh registered here (kernels/ring_attention).
+# A registry rather than a function argument because the attention call
+# sits deep inside flax modules whose signatures mirror the reference.
+_SEQ_MESH = None
+
+
+def set_seq_mesh(mesh):
+    """Register (or clear, with None) the mesh for sequence-parallel
+    attention. The mesh must carry a 'seq' axis; returns the previous
+    registration so callers can restore it."""
+    global _SEQ_MESH
+    if mesh is not None:
+        assert "seq" in mesh.axis_names, mesh.axis_names
+    prev, _SEQ_MESH = _SEQ_MESH, mesh
+    return prev
+
+
+def get_seq_mesh():
+    return _SEQ_MESH
+
+
+def default_seq_mesh() -> Mesh:
+    """data=1 x seq=n over every visible device — the latency-serving
+    layout: one sample's token axis spread across the whole slice."""
+    return make_mesh((1, len(jax.devices())), ("data", "seq"))
+
+
 def make_mesh(axis_sizes: Optional[Sequence[int]] = None,
               axis_names: Sequence[str] = ("data",),
               devices: Optional[Sequence] = None) -> Mesh:

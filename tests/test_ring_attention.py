@@ -130,3 +130,43 @@ def test_flash_stats_vjp_honors_lse_cotangent(key):
     for a, b_ in zip(g_ref, g_flash):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_unet_with_ring_attention_matches_xla(key):
+    """Product path: model.attention_impl=ring — the UNet's AttnBlock
+    shards its 8x8=64-token attention over the registered seq mesh and
+    must produce the XLA path's output exactly (same params: the impl
+    does not change the parameter tree)."""
+    import dataclasses
+    from itsd_tpu.models import UNet, uncond_unet_config
+    from itsd_tpu.parallel import set_seq_mesh
+
+    cfg_x = uncond_unet_config(ch=8, ch_mult=(1, 2), attn=(1,),
+                               num_res_blocks=1, dropout=0.0,
+                               attention_impl="xla")
+    cfg_r = dataclasses.replace(cfg_x, attention_impl="ring")
+    x = jax.random.normal(key, (2, 16, 16, 3))
+    t = jnp.array([3, 7])
+    params = UNet(cfg_x).init(jax.random.PRNGKey(0), x, t)
+    ref = UNet(cfg_x).apply(params, x, t)
+    prev = set_seq_mesh(make_mesh((1, 8), ("data", "seq")))
+    try:
+        out = jax.jit(lambda p, x, t: UNet(cfg_r).apply(p, x, t))(
+            params, x, t)
+    finally:
+        set_seq_mesh(prev)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_ring_without_mesh_warns_and_falls_back(key):
+    from itsd_tpu.kernels import spatial_attention
+    from itsd_tpu.parallel import get_seq_mesh
+
+    assert get_seq_mesh() is None, "registry must be clean between tests"
+    q, k, v = _qkv(key, 1, 16, 4)
+    with pytest.warns(UserWarning, match="no mesh with a 'seq' axis"):
+        out = spatial_attention(q, k, v, impl="ring")
+    ref = _attention_xla(q, k, v, 4.0 ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
