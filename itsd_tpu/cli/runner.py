@@ -247,8 +247,32 @@ def resolve_track_metrics(cfg: Config) -> bool:
     return bool(t)
 
 
+def _train_mesh(cfg: Config):
+    """Training mesh: pure-DP by default; with train.spatial_shard=K the
+    devices factor into (data=n/K, seq=K) and image rows shard over 'seq'
+    (parallel.spatial_sharding — per-chip activation memory drops ~Kx).
+    Registered as the seq mesh so model.attention_impl=ring rides the
+    same axis."""
+    K = max(1, int(cfg.train.spatial_shard))
+    if K == 1:
+        return make_mesh(axis_names=("data",)), 1
+    n = jax.device_count()
+    if n % K:
+        raise ValueError(
+            f"train.spatial_shard={K} must divide device count {n}")
+    if cfg.data.img_size % K:
+        raise ValueError(
+            f"train.spatial_shard={K} must divide img_size "
+            f"{cfg.data.img_size} (image rows shard evenly)")
+    from ..parallel import set_seq_mesh
+    mesh = make_mesh((n // K, K), ("data", "seq"))
+    set_seq_mesh(mesh)
+    return mesh, K
+
+
 def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     """Full training loop. Returns summary dict (final loss, ckpt paths)."""
+    mesh, spatial_k = _train_mesh(cfg)
     model, conditional = build_model(cfg)
     sched = build_schedule(cfg)
     images, labels = load_dataset(cfg)
@@ -305,7 +329,6 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     state = create_train_state(params, tx,
                                ema=cfg.train.ema_decay is not None)
 
-    mesh = make_mesh(axis_names=("data",))
     shardings = param_sharding(state.params, mesh)
     state = state.replace(
         params=jax.tree.map(jax.device_put, state.params, shardings),
@@ -346,6 +369,10 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     from ..train.checkpoint import AsyncCheckpointManager
     from ..utils.profiling import trace_steps
     b_sharding = batch_sharding(mesh)
+    if spatial_k > 1:
+        from ..parallel import spatial_sharding
+        b_sharding = {"image": spatial_sharding(mesh),
+                      "label": batch_sharding(mesh)}
     ckpt_mgr = AsyncCheckpointManager() if cfg.train.async_checkpoint else None
     profiler = trace_steps(cfg.train.profile_steps,
                            os.path.join(cfg.metrics_save_dir, "trace"))

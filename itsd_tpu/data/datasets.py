@@ -155,12 +155,16 @@ def load_image_folder(root: str, img_size: int = 256,
 def _put_batch(batch, sharding):
     """device_put every value of a batch dict (sharded when given) —
     shared by both prefetch variants so the transfer policy cannot
-    diverge between them."""
+    diverge between them. ``sharding`` may be a single Sharding for all
+    keys, or a dict key->Sharding (spatial partitioning shards images on
+    H but labels only on batch)."""
     import jax
 
-    if sharding is not None:
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
-    return {k: jax.device_put(v) for k, v in batch.items()}
+    if sharding is None:
+        return {k: jax.device_put(v) for k, v in batch.items()}
+    if isinstance(sharding, dict):
+        return {k: jax.device_put(v, sharding[k]) for k, v in batch.items()}
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
 def prefetch_to_device(iterator, size: int = 2, sharding=None):

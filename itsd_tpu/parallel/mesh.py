@@ -139,8 +139,24 @@ def param_sharding(params, mesh: Mesh, model_axis: str = "model"):
     return jax.tree.map(rule, params)
 
 
+def spatial_sharding(mesh: Mesh, axis: str = "data",
+                     spatial_axis: str = "seq") -> NamedSharding:
+    """NHWC activation layout for spatial partitioning: batch over the
+    data axis AND image rows (H) over ``spatial_axis``. XLA GSPMD
+    partitions every conv spatially (halo exchange for the 3x3 windows
+    rides ICI) and reduces GroupNorm statistics across the axis — so
+    per-chip activation memory scales down with the axis size. This is
+    the second lever on the 256x256 memory wall (the reference's scaling
+    wall, `/root/reference/Diffusion/Model.py:152-161`): dp scales
+    throughput at fixed per-chip batch; sp shards the IMAGE when even
+    batch 1 is too large. Composes with ring attention (same 'seq' axis:
+    the H-major token flatten keeps the sharding aligned)."""
+    return NamedSharding(mesh, P(axis, spatial_axis))
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data",
-                process_local: bool = False):
+                process_local: bool = False,
+                spatial_axis: Optional[str] = None):
     """Place a host batch onto the mesh, sharded on the leading dim.
 
     ``process_local=True`` is the multi-host path: each process passes only
@@ -148,12 +164,23 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data",
     the result is a global array of ``process_count * local`` rows — the
     standard per-process data-parallel feed. Works identically (and is
     exercised in the dryrun) with a single process.
+
+    ``spatial_axis`` additionally shards the H dim of image-shaped (4-D)
+    leaves over that mesh axis (see `spatial_sharding`); non-image leaves
+    (labels) stay batch-sharded only.
     """
     sh = batch_sharding(mesh, axis)
+
+    def sharding_for(x):
+        if spatial_axis is not None and getattr(x, "ndim", 0) == 4:
+            return spatial_sharding(mesh, axis, spatial_axis)
+        return sh
+
     if process_local:
         def put(x):
             x = np.asarray(x)
             gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
-            return jax.make_array_from_process_local_data(sh, x, gshape)
+            return jax.make_array_from_process_local_data(
+                sharding_for(x), x, gshape)
         return jax.tree.map(put, batch)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding_for(x)), batch)

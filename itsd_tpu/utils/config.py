@@ -104,6 +104,12 @@ class TrainCfg:
     # capture a jax.profiler trace of the first N train steps into
     # `<metrics_save_dir>/trace` (0 disables)
     profile_steps: int = 0
+    # spatial partitioning: shard image ROWS over a 'seq' mesh axis of
+    # this size (data axis gets device_count/spatial_shard) — per-chip
+    # activation memory scales down with it, the second lever on the
+    # 256x256 memory wall (docs/PERF.md); composes with
+    # model.attention_impl=ring on the same axis. 1 disables.
+    spatial_shard: int = 1
     # PRNG implementation for the training key stream. "rbg" uses the
     # TPU-native non-cryptographic generator — measured 28% step-throughput
     # gain on dropout-heavy models (the ViT: threefry mask bits poison the
