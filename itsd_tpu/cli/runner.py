@@ -471,13 +471,40 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
             "metrics_history": metrics_history}
 
 
+def _maybe_spatial_put(cfg: Config, x):
+    """train.spatial_shard applies at inference too: place the initial
+    noise H-sharded over a data x seq mesh so the whole sampler runs
+    spatially partitioned (numerically exact — test_spatial_partition.py).
+    Falls back to unsharded, loudly, when the shapes don't tile."""
+    K = max(1, int(cfg.train.spatial_shard))
+    if K == 1:
+        return x
+    n = jax.device_count()
+    if n % K or x.shape[1] % K:
+        print(f"[runner] spatial_shard={K} ignored at inference: needs "
+              f"K | device_count ({n}) and K | H ({x.shape[1]})")
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import get_seq_mesh, set_seq_mesh
+    mesh = get_seq_mesh()
+    if (mesh is None or "seq" not in mesh.axis_names
+            or mesh.shape["seq"] != K):
+        mesh = make_mesh((n // K, K), ("data", "seq"))
+        set_seq_mesh(mesh)  # ring attention rides the same axis
+    data_ok = ("data" in mesh.axis_names and mesh.shape["data"] > 1
+               and x.shape[0] % mesh.shape["data"] == 0)
+    spec = P("data" if data_ok else None, "seq")
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
 def _sample_grid_during_training(cfg, model, state, conditional, epoch, key):
     sched = build_schedule(cfg, inference=True)
     eval_bs = cfg.train.eval_batch_size or min(cfg.train.batch_size, 64)
     params = state.ema_params if state.ema_params is not None else state.params
     kx, ks = jax.random.split(jax.random.fold_in(key, epoch))
-    x_T = jax.random.normal(kx, (eval_bs, cfg.data.img_size,
-                                 cfg.data.img_size, 3))
+    x_T = _maybe_spatial_put(cfg, jax.random.normal(
+        kx, (eval_bs, cfg.data.img_size, cfg.data.img_size, 3)))
     if conditional:
         labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
         eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
@@ -503,8 +530,8 @@ def evaluate(cfg: Config, params=None) -> dict:
     eval_bs = cfg.train.eval_batch_size or min(cfg.train.batch_size, 64)
     key = jax.random.PRNGKey(cfg.seed)
     kx, ks = jax.random.split(key)
-    x_T = jax.random.normal(kx, (eval_bs, cfg.data.img_size,
-                                 cfg.data.img_size, 3))
+    x_T = _maybe_spatial_put(cfg, jax.random.normal(
+        kx, (eval_bs, cfg.data.img_size, cfg.data.img_size, 3)))
     if conditional:
         labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
         eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
@@ -561,8 +588,8 @@ def sample_with_metrics(cfg: Config, params, feature_fn=None,
     eval_bs = cfg.train.eval_batch_size or min(cfg.train.batch_size, 64)
     key = jax.random.PRNGKey(cfg.seed)
     kx, ks = jax.random.split(key)
-    x_T = jax.random.normal(kx, (eval_bs, cfg.data.img_size,
-                                 cfg.data.img_size, 3))
+    x_T = _maybe_spatial_put(cfg, jax.random.normal(
+        kx, (eval_bs, cfg.data.img_size, cfg.data.img_size, 3)))
     if conditional:
         labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
         eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)

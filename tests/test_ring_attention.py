@@ -170,3 +170,26 @@ def test_ring_without_mesh_warns_and_falls_back(key):
     ref = _attention_xla(q, k, v, 4.0 ** -0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_vit_with_ring_attention_matches_xla(key):
+    """Second model family: the ViT's multi-head attention folds heads
+    into batch and rides the same dispatch — ring must match XLA."""
+    import dataclasses
+    from itsd_tpu.models import ViT, ViTConfig
+    from itsd_tpu.parallel import set_seq_mesh
+
+    cfg_x = ViTConfig(img_size=16, patch_size=2, embed_dim=32, depth=2,
+                      num_heads=4, dropout=0.0, attention_impl="xla")
+    cfg_r = dataclasses.replace(cfg_x, attention_impl="ring")
+    x = jax.random.normal(key, (2, 16, 16, 3))
+    t = jnp.array([3, 7])
+    params = ViT(cfg_x).init(jax.random.PRNGKey(0), x, t)
+    ref = ViT(cfg_x).apply(params, x, t)
+    prev = set_seq_mesh(make_mesh((1, 8), ("data", "seq")))
+    try:
+        out = ViT(cfg_r).apply(params, x, t)
+    finally:
+        set_seq_mesh(prev)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -130,3 +130,42 @@ def test_spatially_sharded_sampler_matches_unsharded(key):
                                    jax.random.PRNGKey(3)))(noise_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_evaluate_cli_path_with_spatial_shard(tmp_path, key):
+    """Product eval path: train.spatial_shard places the initial noise
+    H-sharded (runner._maybe_spatial_put) and the sampled images equal
+    the unsharded run exactly."""
+    import copy
+
+    from itsd_tpu.cli import runner
+    from itsd_tpu.parallel import set_seq_mesh
+    from itsd_tpu.utils.config import Config
+
+    cfg = Config()
+    cfg.data.dataset = "synthetic"
+    cfg.data.img_size = 16
+    cfg.model.channel = 8
+    cfg.model.channel_mult = (1, 2)
+    cfg.model.attn = (1,)
+    cfg.model.num_res_blocks = 1
+    cfg.model.dropout = 0.0
+    cfg.diffusion.T = 8
+    cfg.train.eval_batch_size = 4
+    cfg.sampled_dir = str(tmp_path / "ref")
+
+    model, conditional = runner.build_model(cfg)
+    assert not conditional
+    x = jnp.zeros((1, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32))
+
+    ref = runner.evaluate(cfg, params=params)["images"]
+
+    cfg_sp = copy.deepcopy(cfg)
+    cfg_sp.train.spatial_shard = 4
+    cfg_sp.sampled_dir = str(tmp_path / "sp")
+    try:
+        out = runner.evaluate(cfg_sp, params=params)["images"]
+    finally:
+        set_seq_mesh(None)  # don't leak the registry into other tests
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
