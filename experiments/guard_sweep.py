@@ -219,6 +219,10 @@ def main():
         return float(r.best_score), r.best_images, float(nfe)
 
     cells = report.setdefault("cells", [])
+    # error cells (relay flap mid-cell) must NOT count as done — drop them
+    # so the resumed run re-measures those points (same policy as
+    # vit_mfu_probe.py)
+    cells[:] = [c for c in cells if "error" not in c]
     done = {(c["algo"], c["budget"], c["seed"]) for c in cells}
     t00 = time.time()
     for algo, buds in budgets.items():
@@ -303,6 +307,8 @@ def make_plot(json_path, png_path):
 
     by_algo = {}
     for c in cells:
+        if "error" in c:  # persisted flap records carry no measurements
+            continue
         by_algo.setdefault(c["algo"], {}).setdefault(
             c["nfe_full_denoises"], []).append(c)
 

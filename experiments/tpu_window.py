@@ -48,7 +48,11 @@ def note(m):
 
 def probe_device(timeout_s: int = 240) -> float | None:
     """Relay-latency probe in a subprocess (a hung axon init can't be
-    interrupted in-process). Returns per-op ms, or None if down."""
+    interrupted in-process). Returns per-op ms, or None if down.
+
+    Deliberately stricter than bench.py's _probe_relay (devices>0 only):
+    the window schedules multi-hour steps, so it also asserts the platform
+    really is TPU and measures dispatch latency to log relay health."""
     code = (
         "import jax, jax.numpy as jnp, time\n"
         "d = jax.devices()[0]\n"

@@ -176,7 +176,8 @@ def _cli_segment(cfg: Config, sched, eps_fn):
     return make_segment_denoiser(
         sched, eps_fn, samp,
         num_steps=min(cfg.diffusion.ddim_steps, sched.T),
-        clip_denoised=cfg.diffusion.clip_denoised)
+        clip_denoised=cfg.diffusion.clip_denoised,
+        eta=cfg.diffusion.ddim_eta)
 
 
 def run_sampler(cfg: Config, sched, eps_fn, x_T, key):
@@ -987,10 +988,15 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
 
         # The baseline must come from the SAME chain the winner used, or
         # the sampler-quality gap masquerades as (or masks) hacking:
-        # path/pruned winners are always full ancestral samples; gradient
-        # follows diffusion.sampler only when it is dpm; random/zero-order
-        # denoise with the configured sampler (= denoise_fn).
-        if s.algorithm in ("path", "pruned") or (
+        # path/pruned winners are ancestral UNLESS segments are active
+        # (diffusion.sampler=ddim|dpm routes their forks through
+        # _cli_segment — then the configured sampler, = denoise_fn, is the
+        # matching baseline); gradient follows diffusion.sampler only when
+        # it is dpm; random/zero-order denoise with the configured sampler.
+        path_like_ancestral = (
+            s.algorithm in ("path", "pruned")
+            and cfg.diffusion.sampler not in ("ddim", "dpm"))
+        if path_like_ancestral or (
                 s.algorithm == "gradient"
                 and cfg.diffusion.sampler != "dpm"):
             base_fn = lambda n, k: sample(sched, eps_fn, n, k,

@@ -279,7 +279,7 @@ def dpm_segment(sched: DiffusionSchedule, eps_fn: EpsFn, x_t: jnp.ndarray,
 
 def make_segment_denoiser(sched: DiffusionSchedule, eps_fn: EpsFn,
                           sampler: str = "ddpm", num_steps: int = 50,
-                          clip_denoised: bool = False):
+                          clip_denoised: bool = False, eta: float = 0.0):
     """(denoise_seg, cost) pair for the forking searches.
 
     ``denoise_seg(x, key, t_from, t_to, clip_output=False)`` runs the
@@ -287,20 +287,33 @@ def make_segment_denoiser(sched: DiffusionSchedule, eps_fn: EpsFn,
     model-eval count (static — callers account NFE with it). ``num_steps``
     is the FULL-chain budget; a segment gets a proportional share, so NFE
     accounting stays comparable with `diffusion.ddim_steps` semantics.
+    ``eta`` applies to DDIM segments (stochastic when > 0; ignored by the
+    deterministic DPM segments and the ancestral path, which is always
+    stochastic).
     """
     if sampler == "ddpm":
         fn = lambda x, k, hi, lo, clip_output=False: denoise_segment(
             sched, eps_fn, x, k, hi, lo, clip_output=clip_output,
             clip_denoised=clip_denoised)
         return fn, lambda hi, lo: hi - lo
-    seg = {"ddim": ddim_segment, "dpm": dpm_segment}[sampler]
 
     def cost(hi, lo):
         return max(1, min(round(num_steps * (hi - lo) / sched.T), hi - lo))
 
-    def fn(x, k, hi, lo, clip_output=False):
-        return seg(sched, eps_fn, x, k, hi, lo, num_steps=cost(hi, lo),
-                   clip_output=clip_output, clip_denoised=clip_denoised)
+    if sampler == "ddim":
+        def fn(x, k, hi, lo, clip_output=False):
+            return ddim_segment(sched, eps_fn, x, k, hi, lo,
+                                num_steps=cost(hi, lo), eta=eta,
+                                clip_output=clip_output,
+                                clip_denoised=clip_denoised)
+    else:
+        assert sampler == "dpm", sampler
+
+        def fn(x, k, hi, lo, clip_output=False):
+            return dpm_segment(sched, eps_fn, x, k, hi, lo,
+                               num_steps=cost(hi, lo),
+                               clip_output=clip_output,
+                               clip_denoised=clip_denoised)
 
     return fn, cost
 

@@ -365,10 +365,12 @@ _flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 def _ring_dispatch(q, k, v, interpret: bool = False):
     """Sequence-parallel path: tokens shard over the registered seq mesh
-    (`parallel.set_seq_mesh`) or the ambient ``with mesh:`` context when it
-    carries a 'seq' axis. Returns None when no usable mesh is available or
+    (`parallel.set_seq_mesh`), the ambient ``with mesh:`` context when it
+    carries a 'seq' axis, or — when neither exists — a freshly registered
+    tokens-over-all-devices default (so ITSD_ATTN_IMPL=ring works
+    standalone, not only through the CLI's build_model). Returns None when
     the token count does not tile — callers fall back loudly."""
-    from ..parallel import get_seq_mesh
+    from ..parallel import default_seq_mesh, get_seq_mesh, set_seq_mesh
     from .ring_attention import sequence_sharded_attention
 
     mesh = get_seq_mesh()
@@ -380,7 +382,10 @@ def _ring_dispatch(q, k, v, interpret: bool = False):
                 mesh = env
         except Exception:
             mesh = None
-    if mesh is None or "seq" not in mesh.axis_names:
+    if mesh is None:
+        mesh = default_seq_mesh()
+        set_seq_mesh(mesh)
+    if "seq" not in mesh.axis_names:
         return None
     if q.shape[1] % mesh.shape["seq"]:
         return None
@@ -433,9 +438,9 @@ def spatial_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             return out
         import warnings
         warnings.warn(
-            "attention_impl=ring: no mesh with a 'seq' axis is registered "
-            "(parallel.set_seq_mesh) or the token count does not tile over "
-            "it — falling back to the XLA path", stacklevel=2)
+            f"attention_impl=ring: the token count ({q.shape[1]}) does not "
+            "tile over the seq mesh axis (or the registered mesh has no "
+            "'seq' axis) — falling back to the XLA path", stacklevel=2)
         return _attention_xla(q, k, v, scale)
     raise ValueError(f"unknown attention impl: {impl!r}")
 

@@ -159,14 +159,35 @@ def test_unet_with_ring_attention_matches_xla(key):
                                atol=1e-5, rtol=1e-5)
 
 
-def test_ring_without_mesh_warns_and_falls_back(key):
+def test_ring_without_mesh_registers_default_and_matches(key):
+    """impl=ring with NOTHING registered must self-register the default
+    tokens-over-all-devices mesh (so ITSD_ATTN_IMPL=ring works standalone,
+    not only through the CLI) and still match XLA."""
     from itsd_tpu.kernels import spatial_attention
-    from itsd_tpu.parallel import get_seq_mesh
+    from itsd_tpu.parallel import get_seq_mesh, set_seq_mesh
 
     assert get_seq_mesh() is None, "registry must be clean between tests"
     q, k, v = _qkv(key, 1, 16, 4)
-    with pytest.warns(UserWarning, match="no mesh with a 'seq' axis"):
+    try:
         out = spatial_attention(q, k, v, impl="ring")
+        assert get_seq_mesh() is not None  # default got registered
+    finally:
+        set_seq_mesh(None)
+    ref = _attention_xla(q, k, v, 4.0 ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_ring_nontiling_tokens_warn_and_fall_back(key):
+    from itsd_tpu.kernels import spatial_attention
+    from itsd_tpu.parallel import set_seq_mesh
+
+    q, k, v = _qkv(key, 1, 12, 4)  # 12 % 8 != 0 on the default mesh
+    try:
+        with pytest.warns(UserWarning, match="does not tile"):
+            out = spatial_attention(q, k, v, impl="ring")
+    finally:
+        set_seq_mesh(None)
     ref = _attention_xla(q, k, v, 4.0 ** -0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-6, rtol=1e-6)

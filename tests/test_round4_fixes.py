@@ -317,3 +317,74 @@ def test_itsd_platform_env_forces_cpu():
         env=env)
     assert r.returncode == 0, r.stderr[-500:]
     assert "cpu" in r.stdout, r.stdout
+
+
+# ---------------------------------------------------------------------------
+# review fixes: guard baseline matches the segment sampler; ddim_eta reaches
+# the forking searches' segments
+
+
+def test_guard_baseline_follows_segment_sampler(tmp_path, monkeypatch):
+    """With diffusion.sampler=ddim, pruned/path winners come from DDIM
+    segment chains — the guard's unsearched baseline must use the SAME
+    sampler family (run_sampler), never the full ancestral chain, or the
+    ratio measures sampler quality instead of verifier hacking."""
+    import itsd_tpu.cli.runner as runner
+    from itsd_tpu.models import UNet, uncond_unet_config
+    from itsd_tpu.utils import load_config
+
+    def no_ancestral(*a, **kw):
+        raise AssertionError(
+            "guard baseline used the ancestral sampler for a segment run")
+
+    monkeypatch.setattr(runner, "sample", no_ancestral)
+
+    ucfg = uncond_unet_config(ch=8, ch_mult=(1,), attn=(), num_res_blocks=1,
+                              dropout=0.0, T=64)
+    model = UNet(ucfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 3)),
+                        jnp.zeros((2,), jnp.int32))
+    out = runner.run_search(load_config(overrides=[
+        "model.channel=8", "model.channel_mult=[1]", "model.attn=[]",
+        "model.num_res_blocks=1", "model.dropout=0.0", "diffusion.T=64",
+        "diffusion.sampler=ddim", "diffusion.ddim_steps=8",
+        "data.dataset=synthetic", "data.img_size=8",
+        "train.eval_batch_size=2",
+        "search.algorithm=pruned", "search.n_candidates=4",
+        "search.prune_schedule=[[32,2]]",
+        "search.verifier=self_supervised", "search.guard_proxy=true",
+        "search.guard_num_real=16", "search.guard_baseline_draws=2",
+        f"sampled_dir={tmp_path}"]), params=params)
+    assert np.isfinite(out["guard"]["baseline_fid_proxy"])
+
+
+def test_segment_denoiser_honors_ddim_eta(key):
+    """diffusion.ddim_eta must reach the forking searches' DDIM segments:
+    eta=0 is deterministic, eta=1 injects noise — same key, different
+    output (and _cli_segment forwards the config value)."""
+    from itsd_tpu.core import linear_schedule, make_segment_denoiser
+    from itsd_tpu.cli.runner import _cli_segment
+    from itsd_tpu.utils import load_config
+
+    sched = linear_schedule(1e-4, 0.02, 32)
+    eps_fn = lambda x, t: 0.1 * x
+    x = jax.random.normal(key, (2, 8, 8, 3))
+    k = jax.random.PRNGKey(5)
+
+    f0, _ = make_segment_denoiser(sched, eps_fn, "ddim", num_steps=8)
+    f1, _ = make_segment_denoiser(sched, eps_fn, "ddim", num_steps=8,
+                                  eta=1.0)
+    o0, o1 = f0(x, k, 32, 0), f1(x, k, 32, 0)
+    assert not np.allclose(np.asarray(o0), np.asarray(o1)), \
+        "eta=1.0 segment must differ from the deterministic one"
+    # deterministic segment is key-independent
+    o0b = f0(x, jax.random.PRNGKey(99), 32, 0)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o0b))
+
+    base = ["diffusion.T=32", "diffusion.sampler=ddim",
+            "diffusion.ddim_steps=8"]
+    g0, _ = _cli_segment(load_config(overrides=base), sched, eps_fn)
+    g1, _ = _cli_segment(load_config(
+        overrides=base + ["diffusion.ddim_eta=1.0"]), sched, eps_fn)
+    np.testing.assert_allclose(np.asarray(g0(x, k, 32, 0)), np.asarray(o0))
+    np.testing.assert_allclose(np.asarray(g1(x, k, 32, 0)), np.asarray(o1))
