@@ -163,3 +163,32 @@ def test_abstract_memory_probe_reads_buffer_assignment():
     assert "error" not in ma, ma
     assert ma["resident_total_bytes"] > 0
     assert ma["argument_size_in_bytes"] >= 64 * 64 * 4
+
+
+def test_flash_tune_wiring_interpret_mode(tmp_path, monkeypatch):
+    """flash_tune's sweep loop, resumable cells, and best-vs-default
+    report must work before it ever touches the chip — run it in Pallas
+    interpret mode at a tiny shape with results redirected to tmp."""
+    import experiments.flash_tune as ft
+
+    monkeypatch.setattr(ft, "RESULTS", str(tmp_path))
+    monkeypatch.setenv("ITSD_FLASH_TUNE_INTERPRET", "1")
+    monkeypatch.setattr(sys, "argv", [
+        "flash_tune.py", "--batch", "1", "--tokens", "256",
+        "--channels", "8", "--reps", "1"])
+    ft.main()
+
+    rep = json.load(open(tmp_path / "flash_tune.json"))
+    assert rep["shape"] == {"B": 1, "N": 256, "C": 8, "dtype": "bfloat16"}
+    fwd = {t: c for t, c in rep["cells"].items()
+           if t.startswith("fwd_q") and "ms" in c}
+    # 256 tokens admit block sizes {128, 256} on both axes -> 4 cells
+    assert len(fwd) == 4, rep["cells"]
+    assert "best_fwd" in rep
+    assert "fwd_bwd_default" in rep["cells"]
+
+    # resumability: a second invocation re-measures nothing (cells kept)
+    before = json.dumps(rep["cells"], sort_keys=True)
+    ft.main()
+    rep2 = json.load(open(tmp_path / "flash_tune.json"))
+    assert json.dumps(rep2["cells"], sort_keys=True) == before
