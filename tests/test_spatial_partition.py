@@ -169,3 +169,19 @@ def test_evaluate_cli_path_with_spatial_shard(tmp_path, key):
     finally:
         set_seq_mesh(None)  # don't leak the registry into other tests
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_shard_batch_process_local_with_spatial(rng):
+    """The multi-host feed path (make_array_from_process_local_data)
+    composed with spatial sharding: images land P(data, seq), labels stay
+    P(data), and the global content is bit-identical to the host batch."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh((2, 4), ("data", "seq"))
+    batch = {"image": rng.normal(size=(8, 16, 16, 3)).astype(np.float32),
+             "label": np.arange(8, dtype=np.int32)}
+    out = shard_batch(batch, mesh, process_local=True, spatial_axis="seq")
+    assert tuple(out["image"].sharding.spec)[:2] == ("data", "seq")
+    assert tuple(out["label"].sharding.spec) == ("data",)
+    np.testing.assert_array_equal(np.asarray(out["image"]), batch["image"])
+    np.testing.assert_array_equal(np.asarray(out["label"]), batch["label"])
