@@ -214,3 +214,17 @@ def test_vit_with_ring_attention_matches_xla(key):
         set_seq_mesh(prev)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_ring_bf16_matches_xla_bf16(key):
+    """The flagship runs bf16: ring partials accumulate in f32 and merge
+    in log-space, so bf16 ring must track the bf16 XLA path within bf16
+    resolution."""
+    mesh = make_mesh((4,), ("seq",), devices=jax.devices()[:4])
+    q, k, v = _qkv(key, 2, 64, 32, dtype=jnp.bfloat16)
+    ref = _attention_xla(q, k, v, 32.0 ** -0.5)
+    out = sequence_sharded_attention(q, k, v, mesh, axis="seq")
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2)
