@@ -145,6 +145,23 @@ def _segment_state_grid(t_from: int, t_to: int, num_steps: int,
     return states
 
 
+def _host_alphas_bar(sched: DiffusionSchedule, who: str) -> "np.ndarray":
+    """The fast samplers build their timestep grids on HOST at trace time,
+    so the schedule must be a static closed-over value, not a jit argument
+    (the ancestral `sample` is the schedule-polymorphic one — it gathers
+    coefficients on device). A clear contract error beats the
+    TracerArrayConversionError users would otherwise hit."""
+    import numpy as np
+
+    if isinstance(sched.alphas_bar, jax.core.Tracer):
+        raise TypeError(
+            f"{who}: the schedule must be STATIC (closed over by the "
+            "jitted function), not passed as a jit argument — its "
+            "timestep grid is computed on host at trace time. Only the "
+            "ancestral `sample` supports a traced schedule.")
+    return np.asarray(sched.alphas_bar, np.float64)
+
+
 def ddim_segment(sched: DiffusionSchedule, eps_fn: EpsFn, x_t: jnp.ndarray,
                  key: jax.Array, t_from: int, t_to: int = 0, *,
                  num_steps: int, eta: float = 0.0,
@@ -171,7 +188,7 @@ def ddim_segment(sched: DiffusionSchedule, eps_fn: EpsFn, x_t: jnp.ndarray,
     states = _segment_state_grid(
         t_from, t_to, num_steps,
         np.linspace(t_from, t_to, num_steps + 1))
-    ab = np.asarray(sched.alphas_bar, np.float64)
+    ab = _host_alphas_bar(sched, "ddim_segment")
 
     def abar(s):
         return 1.0 if s == 0 else ab[s - 1]
@@ -217,7 +234,7 @@ def dpm_segment(sched: DiffusionSchedule, eps_fn: EpsFn, x_t: jnp.ndarray,
 
     assert 0 <= t_to < t_from <= sched.T, (t_from, t_to)
     num_steps = max(1, min(num_steps, t_from - t_to))
-    ab = np.asarray(sched.alphas_bar, np.float64)
+    ab = _host_alphas_bar(sched, "dpm_segment")
     lam_all = 0.5 * (np.log(ab) - np.log1p(-ab))
 
     # uniform-lambda targets over the segment's REGULAR states (state 0 is
@@ -366,7 +383,8 @@ def ddim_sample(sched: DiffusionSchedule, eps_fn: EpsFn, x_T: jnp.ndarray,
 def dpm_solver_sample(sched: DiffusionSchedule, eps_fn: EpsFn,
                       x_T: jnp.ndarray, key: jax.Array, *,
                       num_steps: int = 20,
-                      clip_output: bool = True) -> jnp.ndarray:
+                      clip_output: bool = True,
+                      clip_denoised: bool = False) -> jnp.ndarray:
     """DPM-Solver++(2M) (Lu et al. 2022): deterministic second-order
     *multistep* probability-flow sampling — beyond the reference's surface
     (its only samplers are ancestral DDPM loops,
@@ -385,72 +403,14 @@ def dpm_solver_sample(sched: DiffusionSchedule, eps_fn: EpsFn,
     the x0 prediction. ``key`` is accepted for signature uniformity with
     the stochastic samplers but unused (the solver is deterministic).
     """
-    import numpy as np
-
+    # Delegates to dpm_segment over the full chain (t_from=T, t_to=0):
+    # verified bit-identical across (T, num_steps) grid points, so the
+    # intricate log-SNR grid / 2M-weight math lives in ONE place.
     T = sched.T
     assert 2 <= num_steps <= T
-    ab = np.asarray(sched.alphas_bar, dtype=np.float64)
-    # Uniform log-SNR (lambda) grid, snapped to the discrete timesteps the
-    # eps model understands. A uniform-t grid wastes the step budget where
-    # lambda barely moves and takes giant lambda strides near the clean end
-    # — measured: uniform-t plateaus at ~0.1 ODE error regardless of order,
-    # uniform-lambda restores the O(h^2) global convergence.
-    lam_all = 0.5 * (np.log(ab) - np.log1p(-ab))
-    lam_grid = np.linspace(lam_all[T - 1], lam_all[0], num_steps)
-    # Snap to discrete timesteps, then enforce strict decrease so the grid
-    # has EXACTLY num_steps points — coarse schedules can snap two lambda
-    # targets to the same t, and silently dropping a step would falsify
-    # every caller's NFE accounting.
-    snapped = [int(np.abs(lam_all - l).argmin()) for l in lam_grid]
-    ts = []
-    prev = T
-    for t in snapped:
-        t = min(t, prev - 1)
-        ts.append(t)
-        prev = t
-    if ts[-1] < 0:
-        # duplicates piled up near the clean end; repair upward from it
-        # (a valid strictly-decreasing assignment exists since
-        # num_steps <= T)
-        nxt = -1
-        for i in range(num_steps - 1, -1, -1):
-            ts[i] = max(ts[i], nxt + 1)
-            nxt = ts[i]
-    assert ts[-1] >= 0 and ts[0] <= T - 1 and len(ts) == num_steps, ts
-    ts = np.asarray(ts, dtype=np.int32)
-    alph = np.sqrt(ab[ts])
-    sig = np.sqrt(1.0 - ab[ts])
-    lam = np.log(alph / sig)          # log-SNR/2, strictly increasing
-    h = np.diff(lam)                  # h[i] = lam[i+1] - lam[i] > 0
-
-    ns = len(ts)
-    # Step i moves state i -> state i+1; state ns is clean (alpha 1, sigma 0).
-    sig_ratio = np.zeros(ns)
-    alph_next = np.ones(ns)
-    phi = np.full(ns, -1.0)           # expm1(-h), -> -1 at the terminal step
-    c1 = np.zeros(ns)                 # 0.5/r weight on (x0_i - x0_{i-1})
-    sig_ratio[:ns - 1] = sig[1:] / sig[:-1]
-    alph_next[:ns - 1] = alph[1:]
-    phi[:ns - 1] = np.expm1(-h)
-    if ns >= 3:
-        c1[1:ns - 1] = 0.5 * h[1:] / h[:-1]
-
-    xs = (jnp.asarray(ts, dtype=jnp.int32),) + tuple(
-        jnp.asarray(v, dtype=jnp.float32)
-        for v in (sig, alph, sig_ratio, alph_next, phi, c1))
-
-    def step(carry, per_step):
-        x, x0_prev = carry
-        t_i, sig_i, alph_i, sr, an, ph, c = per_step
-        tb = jnp.full((x.shape[0],), t_i, dtype=jnp.int32)
-        eps = eps_fn(x, tb)
-        x0 = (x - sig_i * eps) / alph_i
-        d = x0 + c * (x0 - x0_prev)   # c=0 on first/last step => first-order
-        x = sr * x - an * ph * d
-        return (x, x0), None
-
-    (x, _), _ = lax.scan(step, (x_T, jnp.zeros_like(x_T)), xs)
-    return jnp.clip(x, -1.0, 1.0) if clip_output else x
+    return dpm_segment(sched, eps_fn, x_T, key, T, 0,
+                       num_steps=num_steps, clip_output=clip_output,
+                       clip_denoised=clip_denoised)
 
 
 def parallel_picard_sample(sched: DiffusionSchedule, eps_fn: EpsFn,
@@ -488,7 +448,7 @@ def parallel_picard_sample(sched: DiffusionSchedule, eps_fn: EpsFn,
     assert 2 <= n <= T
     if max_iters is None:
         max_iters = n
-    ab = np.asarray(sched.alphas_bar, dtype=np.float64)
+    ab = _host_alphas_bar(sched, "parallel_picard_sample")
     ts = np.linspace(T - 1, 0, n).round().astype(np.int32)
     a = np.concatenate([np.sqrt(ab[ts]), [1.0]])        # states 0..n
     s = np.concatenate([np.sqrt(1.0 - ab[ts]), [0.0]])
@@ -497,8 +457,11 @@ def parallel_picard_sample(sched: DiffusionSchedule, eps_fn: EpsFn,
 
     B = x_T.shape[0]
     t_fold = jnp.repeat(jnp.asarray(ts, jnp.int32), B)  # [n*B]
-    cm1 = jnp.asarray(c - 1.0, jnp.float32).reshape(n, 1, 1, 1, 1)
-    dd = jnp.asarray(d, jnp.float32).reshape(n, 1, 1, 1, 1)
+    # broadcast over [n, B, *data-dims] — shape-polymorphic like the rest
+    # of core (latent-vector x_T works, not only NHWC images)
+    bshape = (n,) + (1,) * x_T.ndim
+    cm1 = jnp.asarray(c - 1.0, jnp.float32).reshape(bshape)
+    dd = jnp.asarray(d, jnp.float32).reshape(bshape)
 
     def sweep(X):
         Xf = X.reshape((n * B,) + x_T.shape[1:])
@@ -558,8 +521,10 @@ def sample_with_snapshots(
     """
     T = sched.T
     assert 1 <= interval <= T
-    # Segment boundaries: T -> b1 -> b2 -> ... -> 0, each segment `interval`
-    # steps except possibly the first (remainder).
+    # Segment boundaries: T -> b1 -> b2 -> ... -> 0, anchored at T, each
+    # segment `interval` steps except possibly the LAST (nearest t=0),
+    # which carries the remainder — e.g. T=10, interval=4 snapshots at
+    # t = 6, 2, 0.
     bounds = list(range(T, -1, -interval))
     if bounds[-1] != 0:
         bounds.append(0)

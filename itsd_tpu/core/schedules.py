@@ -15,7 +15,11 @@ torch modules (`/root/reference/Diffusion/Diffusion.py:19-65`,
 
 Unlike the reference (buffers pinned to an nn.Module), the schedule here is an
 immutable pytree that flows through ``jit`` as a regular argument, so one
-compiled sampler serves any (beta_1, beta_T) at the same T.
+compiled ANCESTRAL sampler (`sampling.sample` / the train loss) serves any
+(beta_1, beta_T) at the same T. The fast samplers (DDIM/DPM segments,
+Picard) build their timestep grids on host at trace time and therefore
+need a STATIC schedule — they raise a clear TypeError on a traced one
+(`sampling._host_alphas_bar`).
 """
 
 from __future__ import annotations

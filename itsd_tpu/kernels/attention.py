@@ -47,8 +47,16 @@ def _attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       precision=jax.lax.Precision.HIGHEST).astype(v.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                  scale: float, kv_blocks: int):
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale: float,
+                      kv_blocks: int, emit_lse: bool):
+    """ONE online-softmax forward kernel for both entry points: the plain
+    forward and the stats-emitting forward (per-row log-sum-exp for the
+    blockwise backward / ring merge) — `emit_lse` is a trace-time constant,
+    so the two variants can never drift apart numerically."""
+    if emit_lse:
+        lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        acc_ref, m_ref, l_ref = rest
     kb = pl.program_id(2)
     # f32 operands need HIGHEST to avoid bf16 truncation; bf16 operands must
     # use default precision (Mosaic rejects an fp32-contract annotation on
@@ -81,8 +89,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
 
     @pl.when(kb == kv_blocks - 1)
     def _finish():
-        o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
-
+        l = l_ref[:, 0]
+        o_ref[0] = (acc_ref[:] / l[:, None]).astype(o_ref.dtype)
+        if emit_lse:
+            lse_ref[0] = (m_ref[:, 0] + jnp.log(l))[:, None]
 
 
 def _pick_block(n: int, prefs) -> int:
@@ -92,113 +102,66 @@ def _pick_block(n: int, prefs) -> int:
             return min(pref, n)
     return n
 
-def _attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                     scale: float, block_q: int = 0,
-                     block_k: int = 0, interpret: bool = False
-                     ) -> jnp.ndarray:
-    """Pallas blockwise attention. q,k,v: [B, N, C]. Block sizes default to
-    the measured v5e optimum (512 x 1024) degrading to whatever divides N."""
-    B, N, C = q.shape
-    block_q = block_q or _pick_block(N, (512, 256, 128))
-    block_k = block_k or _pick_block(N, (1024, 512, 256, 128))
-    block_q = min(block_q, N)
-    block_k = min(block_k, N)
-    assert N % block_q == 0 and N % block_k == 0, (N, block_q, block_k)
-    q_blocks = N // block_q
-    kv_blocks = N // block_k
 
-    grid = (B, q_blocks, kv_blocks)
-    kernel = functools.partial(_flash_kernel, scale=scale,
-                               kv_blocks=kv_blocks)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, C), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, C), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, C), lambda b, i, j: (b, j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, C), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, C), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-        ] if _HAS_PLTPU else [],
-        interpret=interpret,
-    )(q, k, v)
+def _require_pltpu():
+    if not _HAS_PLTPU:
+        raise RuntimeError(
+            "flash attention requires jax.experimental.pallas.tpu, which "
+            "failed to import on this build — use impl='xla' instead")
 
 
-def _flash_kernel_stats(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                        acc_ref, m_ref, l_ref, *, scale: float,
-                        kv_blocks: int):
-    """Forward that additionally emits the per-row log-sum-exp, which the
-    blockwise backward needs to reconstruct p = exp(s - lse)."""
-    kb = pl.program_id(2)
-    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
-            else None)
-
-    @pl.when(kb == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[:] = jnp.zeros_like(l_ref)
-
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32,
-                precision=prec) * scale
-    m_prev = m_ref[:, 0]
-    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
-    correction = jnp.exp(m_prev - m_cur)
-    p = jnp.exp(s - m_cur[:, None])
-    l_ref[:, 0] = l_ref[:, 0] * correction + jnp.sum(p, axis=-1)
-    m_ref[:, 0] = m_cur
-    acc_ref[:] = (acc_ref[:] * correction[:, None]
-                  + jnp.dot(p.astype(v.dtype), v,
-                            preferred_element_type=jnp.float32,
-                            precision=prec))
-
-    @pl.when(kb == kv_blocks - 1)
-    def _finish():
-        l = l_ref[:, 0]
-        o_ref[0] = (acc_ref[:] / l[:, None]).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[:, 0] + jnp.log(l))[:, None]
-
-
-def _attention_flash_stats(q, k, v, scale, block_q=0, block_k=0,
-                           interpret=False):
+def _flash_forward(q, k, v, scale, block_q=0, block_k=0, interpret=False,
+                   emit_lse=False):
+    """Shared pallas_call scaffolding for the forward kernel. Block sizes
+    default to the measured v5e optimum (512 x 1024) degrading to whatever
+    divides N. Returns o, or (o, lse) when ``emit_lse``."""
+    _require_pltpu()
     B, N, C = q.shape
     block_q = min(block_q or _pick_block(N, (512, 256, 128)), N)
     block_k = min(block_k or _pick_block(N, (1024, 512, 256, 128)), N)
-    assert N % block_q == 0 and N % block_k == 0
+    assert N % block_q == 0 and N % block_k == 0, (N, block_q, block_k)
     kv_blocks = N // block_k
-    kernel = functools.partial(_flash_kernel_stats, scale=scale,
-                               kv_blocks=kv_blocks)
+    kernel = functools.partial(_flash_fwd_kernel, scale=scale,
+                               kv_blocks=kv_blocks, emit_lse=emit_lse)
+    q_spec = pl.BlockSpec((1, block_q, C), lambda b, i, j: (b, i, 0))
+    out_specs = (q_spec,
+                 pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)))
+    out_shape = (jax.ShapeDtypeStruct(q.shape, q.dtype),
+                 jax.ShapeDtypeStruct((B, N, 1), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=(B, N // block_q, kv_blocks),
         in_specs=[
-            pl.BlockSpec((1, block_q, C), lambda b, i, j: (b, i, 0)),
+            q_spec,
             pl.BlockSpec((1, block_k, C), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, C), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=(
-            pl.BlockSpec((1, block_q, C), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
-        ),
+        out_specs=out_specs if emit_lse else out_specs[0],
+        out_shape=out_shape if emit_lse else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((block_q, C), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
-        ] if _HAS_PLTPU else [],
+        ],
         interpret=interpret,
     )(q, k, v)
+
+
+def _attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     scale: float, block_q: int = 0,
+                     block_k: int = 0, interpret: bool = False
+                     ) -> jnp.ndarray:
+    """Pallas blockwise attention. q,k,v: [B, N, C]."""
+    return _flash_forward(q, k, v, scale, block_q, block_k, interpret,
+                          emit_lse=False)
+
+
+def _attention_flash_stats(q, k, v, scale, block_q=0, block_k=0,
+                           interpret=False):
+    """Forward that additionally emits the per-row log-sum-exp, which the
+    blockwise backward needs to reconstruct p = exp(s - lse)."""
+    return _flash_forward(q, k, v, scale, block_q, block_k, interpret,
+                          emit_lse=True)
 
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
@@ -277,6 +240,7 @@ def _attention_flash_bwd(q, k, v, o, lse, do, scale, block_q=0,
     Since d(lse)/ds = p, it folds into the existing kernels exactly:
     ds = p*(dp - dd) + p*dlse = p*(dp - (dd - dlse)).
     """
+    _require_pltpu()
     B, N, C = q.shape
     block_q = min(block_q or _pick_block(N, (512, 256, 128)), N)
     block_k = min(block_k or _pick_block(N, (1024, 512, 256, 128)), N)
@@ -302,8 +266,7 @@ def _attention_flash_bwd(q, k, v, o, lse, do, scale, block_q=0,
         ],
         out_specs=pl.BlockSpec((1, block_q, C), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, C), jnp.float32)]
-        if _HAS_PLTPU else [],
+        scratch_shapes=[pltpu.VMEM((block_q, C), jnp.float32)],
         interpret=interpret,
     )(q, k, v, do, lse, dd)
 
@@ -330,7 +293,7 @@ def _attention_flash_bwd(q, k, v, o, lse, do, scale, block_q=0,
         scratch_shapes=[
             pltpu.VMEM((block_k, C), jnp.float32),
             pltpu.VMEM((block_k, C), jnp.float32),
-        ] if _HAS_PLTPU else [],
+        ],
         interpret=interpret,
     )(k, v, q, do, lse, dd)
     return dq, dk, dv
@@ -364,27 +327,33 @@ _flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
 def _ring_dispatch(q, k, v, interpret: bool = False):
-    """Sequence-parallel path: tokens shard over the registered seq mesh
-    (`parallel.set_seq_mesh`), the ambient ``with mesh:`` context when it
-    carries a 'seq' axis, or — when neither exists — a freshly registered
-    tokens-over-all-devices default (so ITSD_ATTN_IMPL=ring works
-    standalone, not only through the CLI's build_model). Returns None when
-    the token count does not tile — callers fall back loudly."""
-    from ..parallel import default_seq_mesh, get_seq_mesh, set_seq_mesh
+    """Sequence-parallel path. Mesh resolution order, most local intent
+    first: (1) an ambient ``with mesh:`` context carrying a 'seq' axis,
+    (2) the registry (`parallel.set_seq_mesh` — what the CLI uses), (3) a
+    NON-persisted tokens-over-all-devices default (so ITSD_ATTN_IMPL=ring
+    works standalone, and a later ``with mesh:`` is never shadowed by a
+    stale auto-registration). Returns None when the token count does not
+    tile — callers fall back loudly."""
+    from ..parallel import default_seq_mesh, get_seq_mesh
     from .ring_attention import sequence_sharded_attention
 
-    mesh = get_seq_mesh()
-    if mesh is None:
-        try:
+    mesh = None
+    try:
+        import warnings as _warnings
+        with _warnings.catch_warnings():
+            # the accessor is deprecated-but-working; a global
+            # warnings-as-errors filter must not break mesh resolution
+            _warnings.simplefilter("ignore", DeprecationWarning)
             from jax.interpreters import pxla
             env = pxla.thread_resources.env.physical_mesh
-            if env is not None and not env.empty and "seq" in env.axis_names:
-                mesh = env
-        except Exception:
-            mesh = None
+        if env is not None and not env.empty and "seq" in env.axis_names:
+            mesh = env
+    except Exception:
+        mesh = None
+    if mesh is None:
+        mesh = get_seq_mesh()
     if mesh is None:
         mesh = default_seq_mesh()
-        set_seq_mesh(mesh)
     if "seq" not in mesh.axis_names:
         return None
     if q.shape[1] % mesh.shape["seq"]:

@@ -116,28 +116,32 @@ def ring_attention(q, k, v, axis_name: str, impl: str = "auto",
     scale = float(q.shape[-1]) ** -0.5
     perm = [(j, (j - 1) % steps) for j in range(steps)]
 
+    def attend(k_cur, v_cur):
+        return attention_with_stats(q, k_cur, v_cur, scale,
+                                    impl=impl, interpret=interpret)
+
+    # Attend to the local shard first, THEN rotate steps-1 times — no dead
+    # final ppermute (on a T-step chain with several attention layers that
+    # would be thousands of wasted ICI copies).
+    o_first, lse = attend(k, v)
+    o = o_first.astype(jnp.float32)
+
     def body(carry, _):
         k_cur, v_cur, o, lse = carry
-        o_i, lse_i = attention_with_stats(q, k_cur, v_cur, scale,
-                                          impl=impl, interpret=interpret)
+        # rotate the k/v shards one hop around the ring (ICI neighbor copy)
+        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+        o_i, lse_i = attend(k_cur, v_cur)
         m = jnp.maximum(lse, lse_i)
         w, w_i = jnp.exp(lse - m), jnp.exp(lse_i - m)
         denom = w + w_i
         o = (o * w + o_i.astype(jnp.float32) * w_i) / denom
         lse = m + jnp.log(denom)
-        # rotate the k/v shards one hop around the ring (ICI neighbor copy)
-        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
         return (k_cur, v_cur, o, lse), None
 
-    # Derive the initial carry from q so it inherits q's varying-manual-
-    # axes set (newer JAX rejects a scan whose constant initial carry is
-    # less varying than the loop output — and which axes vary depends on
-    # whether batch is sharded too, so arithmetic beats jax.lax.pcast).
-    o0 = (q * 0).astype(jnp.float32)
-    lse0 = q[..., :1].astype(jnp.float32) * 0 - jnp.inf
-    (_, _, o, _), _ = jax.lax.scan(body, (k, v, o0, lse0), None,
-                                   length=steps)
+    if steps > 1:
+        (_, _, o, _), _ = jax.lax.scan(body, (k, v, o, lse), None,
+                                       length=steps - 1)
     return o.astype(q.dtype)
 
 

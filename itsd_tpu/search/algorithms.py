@@ -182,18 +182,26 @@ def zero_order_search(
 
 def path_search_nfes(T: int, n_paths: int,
                      injection_steps: Sequence[int],
-                     delta_f: int) -> int:
+                     delta_f: int, seg_cost=None) -> int:
     """Static NFE accounting for `path_search` (full-denoise equivalents),
     mirroring its in-trace accumulation — callers that jit the search and
     return only arrays use this instead of re-deriving (and overstating)
-    the cost."""
+    the cost.
+
+    ``seg_cost(t_from, t_to)`` is the per-segment model-eval count — pass
+    the second element of `make_segment_denoiser` when the search forks
+    over DDIM/DPM segments; the default is the ancestral cost
+    ``t_from - t_to``, which OVERSTATES NFE ~``T/num_steps``-fold for
+    fast-segment runs."""
+    if seg_cost is None:
+        seg_cost = lambda hi, lo: hi - lo
     steps = sorted(set(int(s) for s in injection_steps), reverse=True)
     t_prev, nfes = T, 0.0
     for t_inj in steps:
-        nfes += n_paths * (t_prev - t_inj) / T   # denoise to injection
+        nfes += n_paths * seg_cost(t_prev, t_inj) / T  # denoise to injection
         nfes += n_paths / T                      # x0-hat scoring eval
         t_prev = min(t_inj + delta_f, T)
-    nfes += n_paths * t_prev / T                 # final descent
+    nfes += n_paths * seg_cost(t_prev, 0) / T    # final descent
     return int(round(nfes))
 
 
@@ -299,15 +307,20 @@ def path_search(
 
 
 def pruned_search_nfes(T: int, n_candidates: int,
-                       prune_schedule: Sequence[Sequence[int]]) -> int:
-    """Static NFE accounting for `pruned_search` (full-denoise units)."""
+                       prune_schedule: Sequence[Sequence[int]],
+                       seg_cost=None) -> int:
+    """Static NFE accounting for `pruned_search` (full-denoise units).
+    See `path_search_nfes` for the ``seg_cost`` caveat — the ancestral
+    default overstates NFE for fast-segment runs."""
+    if seg_cost is None:
+        seg_cost = lambda hi, lo: hi - lo
     t_prev, n_now, nfes = T, n_candidates, 0.0
     for t_p, keep in sorted((tuple(map(int, p)) for p in prune_schedule),
                             reverse=True):
-        nfes += n_now * (t_prev - t_p) / T   # denoise to the prune point
+        nfes += n_now * seg_cost(t_prev, t_p) / T  # denoise to prune point
         nfes += n_now / T                    # x0-hat scoring eval
         t_prev, n_now = t_p, keep
-    nfes += n_now * t_prev / T               # survivors' final descent
+    nfes += n_now * seg_cost(t_prev, 0) / T  # survivors' final descent
     return int(round(nfes))
 
 

@@ -154,10 +154,11 @@ def aesthetic_score(images: jnp.ndarray) -> jnp.ndarray:
 
 def integrated_verifier(verifiers: Dict[str, Callable],
                         weights: Optional[Dict[str, float]] = None):
-    """Weighted ensemble (`verifier.py:338-388`). Default weights follow the
-    reference: aesthetic 0.4, clip 0.4, image_reward 0.2 (the reference's
-    image_reward is a 0.5 constant placeholder — supply a real verifier under
-    that key to upgrade it)."""
+    """Weighted ensemble (`verifier.py:338-388`). ``weights=None`` means
+    UNIFORM 1/len(verifiers); the reference's weighting (aesthetic 0.4,
+    clip 0.4, image_reward 0.2 — its image_reward is a 0.5 constant
+    placeholder) is available via `reference_integrated_weights()` and
+    must be passed explicitly."""
     if weights is None:
         weights = {k: 1.0 / len(verifiers) for k in verifiers}
     missing = set(weights) - set(verifiers)

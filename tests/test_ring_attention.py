@@ -159,21 +159,39 @@ def test_unet_with_ring_attention_matches_xla(key):
                                atol=1e-5, rtol=1e-5)
 
 
-def test_ring_without_mesh_registers_default_and_matches(key):
-    """impl=ring with NOTHING registered must self-register the default
-    tokens-over-all-devices mesh (so ITSD_ATTN_IMPL=ring works standalone,
-    not only through the CLI) and still match XLA."""
+def test_ring_without_mesh_uses_default_without_registering(key):
+    """impl=ring with NOTHING registered uses the tokens-over-all-devices
+    default (so ITSD_ATTN_IMPL=ring works standalone, not only through the
+    CLI), matches XLA, and does NOT persist the default into the registry
+    (a later `with mesh:` context must never be shadowed by a stale
+    auto-registration)."""
     from itsd_tpu.kernels import spatial_attention
-    from itsd_tpu.parallel import get_seq_mesh, set_seq_mesh
+    from itsd_tpu.parallel import get_seq_mesh
 
     assert get_seq_mesh() is None, "registry must be clean between tests"
     q, k, v = _qkv(key, 1, 16, 4)
-    try:
-        out = spatial_attention(q, k, v, impl="ring")
-        assert get_seq_mesh() is not None  # default got registered
-    finally:
-        set_seq_mesh(None)
+    out = spatial_attention(q, k, v, impl="ring")
+    assert get_seq_mesh() is None, "default must not persist"
     ref = _attention_xla(q, k, v, 4.0 ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_ring_ambient_mesh_context_beats_registry_default(key):
+    """An explicit `with mesh:` context carrying a 'seq' axis is the most
+    local statement of intent — ring attention must use it."""
+    from itsd_tpu.kernels import spatial_attention
+
+    import warnings
+
+    mesh = make_mesh((2, 2), ("data", "seq"), devices=jax.devices()[:4])
+    q, k, v = _qkv(key, 2, 18, 4)  # 18 % 2 == 0 but 18 % 8 != 0:
+    # only the ambient 2-way seq axis tiles; the 8-way default would not,
+    # so a fallback warning would mean the ambient mesh was NOT seen
+    ref = _attention_xla(q, k, v, 4.0 ** -0.5)
+    with mesh, warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        out = spatial_attention(q, k, v, impl="ring")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-6, rtol=1e-6)
 
