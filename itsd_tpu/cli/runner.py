@@ -48,14 +48,6 @@ from ..utils.plotting import plot_loss_curve, plot_metrics_curves
 
 def build_model(cfg: Config):
     m = cfg.model
-    if m.attention_impl == "ring":
-        # sequence-parallel attention needs a mesh with a 'seq' axis; when
-        # the caller hasn't registered one, default to the latency-serving
-        # layout (tokens over every visible device) — on one chip the ring
-        # degenerates to a single hop
-        from ..parallel import default_seq_mesh, get_seq_mesh, set_seq_mesh
-        if get_seq_mesh() is None:
-            set_seq_mesh(default_seq_mesh())
     if m.backbone == "vit":
         vcfg = ViTConfig(img_size=cfg.data.img_size, patch_size=m.patch_size,
                          embed_dim=m.embed_dim, depth=m.depth,
@@ -249,15 +241,27 @@ def resolve_track_metrics(cfg: Config) -> bool:
 
 
 def _train_mesh(cfg: Config):
-    """Training mesh: pure-DP by default; with train.spatial_shard=K the
-    devices factor into (data=n/K, seq=K) and image rows shard over 'seq'
-    (parallel.spatial_sharding — per-chip activation memory drops ~Kx).
-    Registered as the seq mesh so model.attention_impl=ring rides the
-    same axis."""
+    """Training mesh + the seq mesh to scope for the run's duration.
+
+    Pure-DP by default. With train.spatial_shard=K the devices factor
+    into (data=n/K, seq=K) and image rows shard over 'seq'
+    (parallel.spatial_sharding — per-chip activation memory drops ~Kx);
+    the same mesh is the ring-attention axis. With spatial_shard=1 but
+    attention_impl=ring, the seq axis is sized 1 (the ring degenerates to
+    local attention) so ring training PRESERVES data parallelism — the
+    tokens-over-all-devices default layout is a latency-serving layout,
+    wrong for a batch-sharded train step."""
     K = max(1, int(cfg.train.spatial_shard))
-    if K == 1:
-        return make_mesh(axis_names=("data",)), 1
     n = jax.device_count()
+    if K == 1:
+        if cfg.model.attention_impl == "ring":
+            mesh = make_mesh((n, 1), ("data", "seq"))
+            print("[runner] attention_impl=ring with spatial_shard=1: "
+                  "ring runs with a size-1 seq axis during training "
+                  "(local attention, full data parallelism); set "
+                  "train.spatial_shard>1 to actually shard tokens")
+            return mesh, 1, mesh
+        return make_mesh(axis_names=("data",)), 1, None
     if n % K:
         raise ValueError(
             f"train.spatial_shard={K} must divide device count {n}")
@@ -265,15 +269,21 @@ def _train_mesh(cfg: Config):
         raise ValueError(
             f"train.spatial_shard={K} must divide img_size "
             f"{cfg.data.img_size} (image rows shard evenly)")
-    from ..parallel import set_seq_mesh
     mesh = make_mesh((n // K, K), ("data", "seq"))
-    set_seq_mesh(mesh)
-    return mesh, K
+    return mesh, K, mesh
 
 
 def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     """Full training loop. Returns summary dict (final loss, ckpt paths)."""
-    mesh, spatial_k = _train_mesh(cfg)
+    from ..parallel import seq_mesh_scope
+    mesh, spatial_k, seq_mesh = _train_mesh(cfg)
+    # scope (not leak) the run's ring/spatial layout — restored on exit
+    with seq_mesh_scope(seq_mesh):
+        return _train_impl(cfg, mesh, spatial_k, max_steps)
+
+
+def _train_impl(cfg: Config, mesh, spatial_k: int,
+                max_steps: Optional[int] = None) -> dict:
     model, conditional = build_model(cfg)
     sched = build_schedule(cfg)
     images, labels = load_dataset(cfg)
@@ -472,46 +482,58 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
             "metrics_history": metrics_history}
 
 
-def _maybe_spatial_put(cfg: Config, x):
-    """train.spatial_shard applies at inference too: place the initial
-    noise H-sharded over a data x seq mesh so the whole sampler runs
-    spatially partitioned (numerically exact — test_spatial_partition.py).
-    Falls back to unsharded, loudly, when the shapes don't tile."""
+def _spatial_mesh(cfg: Config, img_h: int):
+    """train.spatial_shard applies at inference too: returns the
+    data x seq mesh to sample under (scope it with `seq_mesh_scope` so
+    ring attention rides the same axis and nothing leaks), or None —
+    loudly — when the shapes don't tile or the run is multi-host (the
+    host fetches of sampled images cannot span non-addressable devices,
+    so multi-host inference stays per-host unsharded)."""
     K = max(1, int(cfg.train.spatial_shard))
     if K == 1:
-        return x
+        return None
+    if jax.process_count() > 1:
+        print(f"[runner] spatial_shard={K} ignored at inference under "
+              "multi-host (sampled images are fetched to each host)")
+        return None
     n = jax.device_count()
-    if n % K or x.shape[1] % K:
+    if n % K or img_h % K:
         print(f"[runner] spatial_shard={K} ignored at inference: needs "
-              f"K | device_count ({n}) and K | H ({x.shape[1]})")
+              f"K | device_count ({n}) and K | H ({img_h})")
+        return None
+    return make_mesh((n // K, K), ("data", "seq"))
+
+
+def _spatial_put(mesh, x):
+    """Place the initial noise on the spatial mesh: H over 'seq', batch
+    over 'data' when it tiles (else replicated) — exactness proven in
+    test_spatial_partition.py."""
+    if mesh is None:
         return x
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..parallel import get_seq_mesh, set_seq_mesh
-    mesh = get_seq_mesh()
-    if (mesh is None or "seq" not in mesh.axis_names
-            or mesh.shape["seq"] != K):
-        mesh = make_mesh((n // K, K), ("data", "seq"))
-        set_seq_mesh(mesh)  # ring attention rides the same axis
-    data_ok = ("data" in mesh.axis_names and mesh.shape["data"] > 1
-               and x.shape[0] % mesh.shape["data"] == 0)
-    spec = P("data" if data_ok else None, "seq")
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    from ..parallel import spatial_sharding
+    if mesh.shape["data"] > 1 and x.shape[0] % mesh.shape["data"] == 0:
+        return jax.device_put(x, spatial_sharding(mesh))
+    return jax.device_put(x, NamedSharding(mesh, P(None, "seq")))
 
 
 def _sample_grid_during_training(cfg, model, state, conditional, epoch, key):
+    from ..parallel import seq_mesh_scope
     sched = build_schedule(cfg, inference=True)
     eval_bs = cfg.train.eval_batch_size or min(cfg.train.batch_size, 64)
     params = state.ema_params if state.ema_params is not None else state.params
     kx, ks = jax.random.split(jax.random.fold_in(key, epoch))
-    x_T = _maybe_spatial_put(cfg, jax.random.normal(
-        kx, (eval_bs, cfg.data.img_size, cfg.data.img_size, 3)))
     if conditional:
         labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
         eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
     else:
         eps_fn = make_eps_fn(model, params, False)
-    imgs = run_sampler(cfg, sched, eps_fn, x_T, ks)
+    smesh = _spatial_mesh(cfg, cfg.data.img_size)
+    with seq_mesh_scope(smesh):
+        x_T = _spatial_put(smesh, jax.random.normal(
+            kx, (eval_bs, cfg.data.img_size, cfg.data.img_size, 3)))
+        imgs = run_sampler(cfg, sched, eps_fn, x_T, ks)
     save_image_grid(np.asarray(imgs),
                     os.path.join(cfg.sampled_dir,
                                  f"epoch_{epoch}_sampled.png"),
@@ -527,26 +549,29 @@ def evaluate(cfg: Config, params=None) -> dict:
     if params is None:
         params = load_eval_params(cfg, model, conditional)
 
+    from ..parallel import seq_mesh_scope
     sched = build_schedule(cfg, inference=True)
     eval_bs = cfg.train.eval_batch_size or min(cfg.train.batch_size, 64)
     key = jax.random.PRNGKey(cfg.seed)
     kx, ks = jax.random.split(key)
-    x_T = _maybe_spatial_put(cfg, jax.random.normal(
-        kx, (eval_bs, cfg.data.img_size, cfg.data.img_size, 3)))
     if conditional:
         labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
         eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
     else:
         eps_fn = make_eps_fn(model, params, False)
 
-    # save the initial noise grid too (reference saves both,
-    # `Train.py:826-836`)
-    os.makedirs(cfg.sampled_dir, exist_ok=True)
-    save_image_grid(np.asarray(jnp.clip(x_T * 0.5, -1, 1)),
-                    os.path.join(cfg.sampled_dir,
-                                 cfg.sampled_noisy_img_name),
-                    nrow=cfg.nrow)
-    imgs = run_sampler(cfg, sched, eps_fn, x_T, ks)
+    smesh = _spatial_mesh(cfg, cfg.data.img_size)
+    with seq_mesh_scope(smesh):
+        x_T = _spatial_put(smesh, jax.random.normal(
+            kx, (eval_bs, cfg.data.img_size, cfg.data.img_size, 3)))
+        # save the initial noise grid too (reference saves both,
+        # `Train.py:826-836`)
+        os.makedirs(cfg.sampled_dir, exist_ok=True)
+        save_image_grid(np.asarray(jnp.clip(x_T * 0.5, -1, 1)),
+                        os.path.join(cfg.sampled_dir,
+                                     cfg.sampled_noisy_img_name),
+                        nrow=cfg.nrow)
+        imgs = run_sampler(cfg, sched, eps_fn, x_T, ks)
     out_path = os.path.join(cfg.sampled_dir, cfg.sampled_img_name)
     save_image_grid(np.asarray(imgs), out_path, nrow=cfg.nrow)
     return {"images": np.asarray(imgs), "path": out_path}
@@ -584,13 +609,12 @@ def sample_with_metrics(cfg: Config, params, feature_fn=None,
     from ..metrics import frechet_distance, gaussian_stats
     from ..metrics.is_score import inception_score
 
+    from ..parallel import seq_mesh_scope
     model, conditional = build_model(cfg)
     sched = build_schedule(cfg, inference=True)
     eval_bs = cfg.train.eval_batch_size or min(cfg.train.batch_size, 64)
     key = jax.random.PRNGKey(cfg.seed)
     kx, ks = jax.random.split(key)
-    x_T = _maybe_spatial_put(cfg, jax.random.normal(
-        kx, (eval_bs, cfg.data.img_size, cfg.data.img_size, 3)))
     if conditional:
         labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
         eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
@@ -600,9 +624,13 @@ def sample_with_metrics(cfg: Config, params, feature_fn=None,
     # `eval_metric_interval` (config.yaml) coarsens metric tracking on
     # evaluation/inference runs; None falls back to the training interval
     interval = cfg.train.eval_metric_interval or cfg.train.metric_interval
-    x0, ts, snaps = sample_with_snapshots(
-        sched, eps_fn, x_T, ks, interval=interval,
-        clip_denoised=cfg.diffusion.clip_denoised)
+    smesh = _spatial_mesh(cfg, cfg.data.img_size)
+    with seq_mesh_scope(smesh):
+        x_T = _spatial_put(smesh, jax.random.normal(
+            kx, (eval_bs, cfg.data.img_size, cfg.data.img_size, 3)))
+        x0, ts, snaps = sample_with_snapshots(
+            sched, eps_fn, x_T, ks, interval=interval,
+            clip_denoised=cfg.diffusion.clip_denoised)
 
     history = []
     mu_r = sigma_r = None
@@ -807,6 +835,13 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
     from ..search import (gradient_search, path_search, random_search,
                           zero_order_search)
 
+    if int(cfg.train.spatial_shard) > 1:
+        # search scales via the CANDIDATE axis (candidates shard over the
+        # same devices); spatially sharding each candidate too would split
+        # the mesh against itself — be loud rather than silently ignore
+        print("[runner] note: train.spatial_shard applies to train/eval/"
+              "inference-metrics; search runs unsharded per candidate "
+              "(candidates are the sharded axis)")
     model, conditional = build_model(cfg)
     if params is None:
         params = load_eval_params(cfg, model, conditional)
@@ -1056,6 +1091,10 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
 def finetune_extended_T(cfg: Config, max_steps: Optional[int] = None) -> dict:
     """Load a checkpoint trained at some T, extend the time embedding to the
     configured (larger) T, freeze everything else, fine-tune."""
+    if int(cfg.train.spatial_shard) > 1:
+        print("[runner] note: train.spatial_shard is not applied by "
+              "finetune-t (small embedding-only updates); it runs "
+              "unsharded")
     model, conditional = build_model(cfg)
     sched = build_schedule(cfg)  # the NEW (extended) T
     assert cfg.test_load_weight, "finetune needs test_load_weight"

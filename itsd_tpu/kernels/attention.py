@@ -390,6 +390,18 @@ def spatial_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         if env == "ring":
             return spatial_attention(q, k, v, impl="ring",
                                      interpret=interpret)
+        # Spatial partitioning active (a seq>1 mesh is registered, e.g.
+        # train.spatial_shard): the plain flash custom call cannot be
+        # spatially partitioned by GSPMD (it would gather the full token
+        # axis per layer) — route through the ring, whose per-shard
+        # partials still use flash when the local shard tiles.
+        from ..parallel import get_seq_mesh
+        m = get_seq_mesh()
+        if (m is not None and "seq" in m.axis_names and m.shape["seq"] > 1
+                and q.shape[1] % m.shape["seq"] == 0):
+            out = _ring_dispatch(q, k, v, interpret=interpret)
+            if out is not None:
+                return out
         # env "flash"/"auto": flash when the shape tiles, xla otherwise
         if (_HAS_PLTPU and jax.default_backend() == "tpu"
                 and _flash_eligible(q.shape[1], C)):

@@ -80,6 +80,27 @@ def get_seq_mesh():
     return _SEQ_MESH
 
 
+def seq_mesh_scope(mesh):
+    """Context manager: register ``mesh`` for the duration of a run and
+    RESTORE the previous registration on exit, so entry points cannot leak
+    their layout into later runs in the same process (`mesh=None` is a
+    no-op scope). The CLI's train/eval/inference paths use this."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        if mesh is None:
+            yield None
+            return
+        prev = set_seq_mesh(mesh)
+        try:
+            yield mesh
+        finally:
+            set_seq_mesh(prev)
+
+    return _scope()
+
+
 def default_seq_mesh() -> Mesh:
     """data=1 x seq=n over every visible device — the latency-serving
     layout: one sample's token axis spread across the whole slice."""

@@ -161,14 +161,44 @@ def test_evaluate_cli_path_with_spatial_shard(tmp_path, key):
 
     ref = runner.evaluate(cfg, params=params)["images"]
 
+    from itsd_tpu.parallel import get_seq_mesh
+
     cfg_sp = copy.deepcopy(cfg)
     cfg_sp.train.spatial_shard = 4
     cfg_sp.sampled_dir = str(tmp_path / "sp")
     try:
         out = runner.evaluate(cfg_sp, params=params)["images"]
+        # the entry point must scope its layout, not leak it (the registry
+        # is process-global; a later run would inherit a stale mesh)
+        assert get_seq_mesh() is None, "evaluate leaked its seq mesh"
     finally:
-        set_seq_mesh(None)  # don't leak the registry into other tests
+        set_seq_mesh(None)  # belt-and-braces for other tests
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_auto_attention_routes_through_ring_under_spatial_mesh(key):
+    """model.attention_impl=auto must compose with spatial partitioning:
+    with a seq>1 mesh registered (what train.spatial_shard does), the
+    dispatch routes through ring attention — the plain flash custom call
+    cannot be spatially partitioned by GSPMD — and stays exact."""
+    from itsd_tpu.kernels import spatial_attention
+    from itsd_tpu.kernels.attention import _attention_xla
+    from itsd_tpu.parallel import seq_mesh_scope
+
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 64, 8))
+    k = jax.random.normal(kk, q.shape)
+    v = jax.random.normal(kv, q.shape)
+    ref = _attention_xla(q, k, v, 8.0 ** -0.5)
+    mesh = make_mesh((2, 4), ("data", "seq"))
+    with seq_mesh_scope(mesh):
+        out = spatial_attention(q, k, v, impl="auto")
+        # proof it took the ring path, not plain XLA: the result is an
+        # f32 merge of per-shard partials — assert exactness AND that the
+        # sharded program ran by checking the output sharding
+        assert "seq" in str(out.sharding), out.sharding
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
 
 
 def test_shard_batch_process_local_with_spatial(rng):
