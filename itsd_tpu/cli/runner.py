@@ -174,7 +174,23 @@ def _cli_segment(cfg: Config, sched, eps_fn):
 
 def run_sampler(cfg: Config, sched, eps_fn, x_T, key):
     """Dispatch ancestral DDPM vs DDIM vs DPM-Solver++ per config
-    (diffusion.sampler; ddim_steps is the step budget for both solvers)."""
+    (diffusion.sampler; ddim_steps is the step budget for both solvers).
+    Non-empty diffusion.restart_intervals wraps the selected family in
+    restart sampling (core.sampling.restart_sample)."""
+    if cfg.diffusion.restart_intervals:
+        from ..core import restart_sample
+        samp = cfg.diffusion.sampler
+        if samp not in ("ddpm", "ddim", "dpm"):
+            raise ValueError(
+                "diffusion.restart_intervals requires sampler "
+                f"ddpm | ddim | dpm, got {samp!r} (picard has no "
+                "segment form)")
+        return restart_sample(
+            sched, eps_fn, x_T, key,
+            restarts=cfg.diffusion.restart_intervals, sampler=samp,
+            num_steps=min(cfg.diffusion.ddim_steps, sched.T),
+            clip_denoised=cfg.diffusion.clip_denoised,
+            eta=cfg.diffusion.ddim_eta)
     if cfg.diffusion.sampler == "ddim":
         return ddim_sample(sched, eps_fn, x_T, key,
                            num_steps=min(cfg.diffusion.ddim_steps, sched.T),
@@ -235,6 +251,17 @@ def resolve_track_metrics(cfg: Config) -> bool:
     always evaluates during training, `Train.py:719-803`) except on the
     test-only synthetic blobs."""
     t = cfg.train.track_metrics
+    if cfg.diffusion.restart_intervals and (t is None or t):
+        # tracked eval snapshots the ancestral chain; under a restart
+        # spec fall back to grid sampling (which honors restarts via
+        # run_sampler) instead of crashing the run at its first eval
+        import warnings
+        warnings.warn(
+            "train.track_metrics disabled: diffusion.restart_intervals "
+            "is set and the metric-tracked sampler only follows the "
+            "plain ancestral chain (see sample_with_metrics).",
+            stacklevel=2)
+        return False
     if t is None:
         return cfg.data.dataset != "synthetic"
     return bool(t)
@@ -610,6 +637,17 @@ def sample_with_metrics(cfg: Config, params, feature_fn=None,
     from ..metrics.is_score import inception_score
 
     from ..parallel import seq_mesh_scope
+    if cfg.diffusion.restart_intervals:
+        # the snapshot sampler tracks the ANCESTRAL chain; silently
+        # ignoring the restart spec would misstate what the metric
+        # history describes
+        raise ValueError(
+            "diffusion.restart_intervals is not supported on the "
+            "metric-tracked sampling path (inference-metrics / training "
+            "tracked eval) — restart chains re-traverse intervals, so "
+            "per-step snapshots would not be the monotone t-history the "
+            "metrics report. Use `eval` or `search` with restarts, or "
+            "clear restart_intervals here.")
     model, conditional = build_model(cfg)
     sched = build_schedule(cfg, inference=True)
     eval_bs = cfg.train.eval_batch_size or min(cfg.train.batch_size, 64)

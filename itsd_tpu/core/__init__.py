@@ -19,6 +19,8 @@ from .sampling import (
     dpm_solver_sample,
     make_segment_denoiser,
     parallel_picard_sample,
+    restart_nfes,
+    restart_sample,
     sample,
     denoise_segment,
     renoise,
@@ -33,4 +35,5 @@ __all__ = [
     "sample", "ddim_sample", "dpm_solver_sample", "parallel_picard_sample",
     "denoise_segment", "renoise", "sample_with_snapshots",
     "ddim_segment", "dpm_segment", "make_segment_denoiser",
+    "restart_sample", "restart_nfes",
 ]

@@ -294,6 +294,18 @@ def dpm_segment(sched: DiffusionSchedule, eps_fn: EpsFn, x_t: jnp.ndarray,
     return jnp.clip(x, -1.0, 1.0) if clip_output else x
 
 
+def segment_cost(T: int, sampler: str = "ddpm", num_steps: int = 50):
+    """Per-segment model-eval count for a sampler family: ancestral pays
+    one eval per step; the fast samplers get a proportional share of the
+    full-chain ``num_steps`` budget (diffusion.ddim_steps semantics).
+    The static half of `make_segment_denoiser` — usable for NFE
+    accounting without building the denoiser."""
+    if sampler == "ddpm":
+        return lambda hi, lo: hi - lo
+    return lambda hi, lo: max(1, min(round(num_steps * (hi - lo) / T),
+                                     hi - lo))
+
+
 def make_segment_denoiser(sched: DiffusionSchedule, eps_fn: EpsFn,
                           sampler: str = "ddpm", num_steps: int = 50,
                           clip_denoised: bool = False, eta: float = 0.0):
@@ -308,14 +320,12 @@ def make_segment_denoiser(sched: DiffusionSchedule, eps_fn: EpsFn,
     deterministic DPM segments and the ancestral path, which is always
     stochastic).
     """
+    cost = segment_cost(sched.T, sampler, num_steps)
     if sampler == "ddpm":
         fn = lambda x, k, hi, lo, clip_output=False: denoise_segment(
             sched, eps_fn, x, k, hi, lo, clip_output=clip_output,
             clip_denoised=clip_denoised)
-        return fn, lambda hi, lo: hi - lo
-
-    def cost(hi, lo):
-        return max(1, min(round(num_steps * (hi - lo) / sched.T), hi - lo))
+        return fn, cost
 
     if sampler == "ddim":
         def fn(x, k, hi, lo, clip_output=False):
@@ -333,6 +343,97 @@ def make_segment_denoiser(sched: DiffusionSchedule, eps_fn: EpsFn,
                                clip_denoised=clip_denoised)
 
     return fn, cost
+
+
+def _validate_restarts(T: int, restarts) -> tuple:
+    """Normalise/validate a restart spec: ((t_max, t_min, k), ...) with
+    T >= t_max > t_min >= 0 and k >= 1, sorted descending and
+    non-overlapping (intervals may touch: next t_max == previous t_min)."""
+    spec = tuple((int(a), int(b), int(c)) for a, b, c in restarts)
+    prev_lo = T
+    for t_max, t_min, k in spec:
+        if not (0 <= t_min < t_max <= T):
+            raise ValueError(
+                f"restart interval ({t_max}, {t_min}) out of range for "
+                f"T={T}: need T >= t_max > t_min >= 0")
+        if t_max > prev_lo:
+            raise ValueError(
+                "restart intervals must be sorted descending and "
+                f"non-overlapping; ({t_max}, {t_min}) overlaps the "
+                f"previous interval (ends at {prev_lo})")
+        if k < 1:
+            raise ValueError(f"restart count k={k} must be >= 1")
+        prev_lo = t_min
+    return spec
+
+
+def restart_sample(sched: DiffusionSchedule, eps_fn: EpsFn,
+                   x_T: jnp.ndarray, key: jax.Array, *,
+                   restarts, sampler: str = "ddpm", num_steps: int = 50,
+                   clip_output: bool = True, clip_denoised: bool = False,
+                   eta: float = 0.0) -> jnp.ndarray:
+    """Restart sampling (Xu et al. 2023, arXiv:2306.14878): a THIRD
+    inference-time scaling axis beyond denoising steps and search. Within
+    each configured interval, the chain is re-noised back up via the
+    forward process (`renoise`) and re-denoised ``k`` extra times; the
+    large forward-noise jump contracts accumulated sampler error faster
+    than the extra stochasticity expands it, so quality scales with NFE
+    even when plain step-count scaling has saturated (the paper's
+    observed plateau) — and unlike best-of-N it needs no verifier.
+
+    The reference has no such capability (its samplers are fixed
+    ancestral loops, `/root/reference/Diffusion/Diffusion.py:84-102`).
+    Composes with every base sampler family here: segments ride
+    ancestral DDPM, DDIM (``eta``), or DPM-Solver++ via
+    `make_segment_denoiser`, with NFE accounted by `restart_nfes`. As a
+    candidate generator it drops into the search algorithms anywhere a
+    ``denoise(noise, key)`` closure is accepted.
+
+    ``restarts``: static ((t_max, t_min, k), ...), sorted descending,
+    non-overlapping; each interval is traversed k+1 times total.
+    """
+    spec = _validate_restarts(sched.T, restarts)
+    seg, _ = make_segment_denoiser(sched, eps_fn, sampler,
+                                   num_steps=num_steps,
+                                   clip_denoised=clip_denoised, eta=eta)
+    x, cur, fold = x_T, sched.T, 0
+
+    def nk():
+        nonlocal fold
+        fold += 1
+        return jax.random.fold_in(key, fold)
+
+    for t_max, t_min, k in spec:
+        if cur > t_max:
+            x = seg(x, nk(), cur, t_max)
+        x = seg(x, nk(), t_max, t_min)
+        for _ in range(k):
+            x = renoise(sched, x, t_min, t_max, nk())
+            x = seg(x, nk(), t_max, t_min)
+        cur = t_min
+    if cur > 0:
+        x = seg(x, nk(), cur, 0)
+    return jnp.clip(x, -1.0, 1.0) if clip_output else x
+
+
+def restart_nfes(T: int, restarts, seg_cost=None) -> int:
+    """Static model-eval count for `restart_sample`: the base chain plus
+    k extra traversals of each restart interval. Pass the ``cost`` half
+    of `make_segment_denoiser` for DDIM/DPM runs (the ancestral default
+    counts one eval per step, which overstates fast-segment NFE —
+    same caveat as `path_search_nfes`)."""
+    if seg_cost is None:
+        seg_cost = lambda hi, lo: hi - lo
+    spec = _validate_restarts(T, restarts)
+    total, cur = 0, T
+    for t_max, t_min, k in spec:
+        if cur > t_max:
+            total += seg_cost(cur, t_max)
+        total += (k + 1) * seg_cost(t_max, t_min)
+        cur = t_min
+    if cur > 0:
+        total += seg_cost(cur, 0)
+    return int(total)
 
 
 def ddim_sample(sched: DiffusionSchedule, eps_fn: EpsFn, x_T: jnp.ndarray,

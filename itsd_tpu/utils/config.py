@@ -58,6 +58,11 @@ class DiffusionCfg:
     # the chain on long extrapolative-CFG runs (T=3000, w=1.8), where the
     # unclipped state can grow without bound (core/process.p_sample_step)
     clip_denoised: bool = False
+    # restart sampling (Xu et al. 2023): ((t_max, t_min, k), ...) —
+    # re-noise + re-denoise each interval k extra times, riding whatever
+    # base `sampler` family is selected (ddpm/ddim/dpm; not picard).
+    # Empty = off. Third scaling axis; see core.sampling.restart_sample.
+    restart_intervals: tuple = ()
 
 
 @dataclasses.dataclass
