@@ -64,6 +64,12 @@ def main():
                          "pipeline validation (mismatched with the "
                          "trained schedule -> image quality is garbage; "
                          "never use for a reported measurement)")
+    ap.add_argument("--pilot", action="store_true",
+                    help="measure against the SELF-CONSISTENT reduced-"
+                         "scale artifact (pilot16_uncond, its own native "
+                         "T=64 — see pruned_budget_pilot.py), sized so a "
+                         "single CPU core can produce the real curve; "
+                         "writes guard_sweep_pilot.json")
     args = ap.parse_args()
 
     out_json = os.path.join(RESULTS, "guard_sweep.json")
@@ -77,6 +83,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # The sweep's claim (score vs independent proxy at each budget) is
+    # backend-independent; a non-TPU run is a valid measurement that
+    # lands in its own file so an on-chip capture can coexist with it.
+    backend = jax.default_backend()
+    if backend != "tpu":
+        out_json = os.path.join(RESULTS, f"guard_sweep_{backend}.json")
+        note(f"backend={backend}: writing to {out_json}")
+
     import bench as _bench
     import experiments.train_artifacts as ta
     from itsd_tpu.core import linear_schedule, sample
@@ -88,18 +102,37 @@ def main():
                                              pruned_search_nfes)
     from itsd_tpu.search.verifiers import make_fid_proxy
 
-    params = _bench.load_artifact_params("shapes32_uncond")
-    assert params is not None, "artifacts/shapes32_uncond missing"
-    model, _ = ta.build_unet("shapes32_uncond")
-    T = args.T or ta.TRAIN_T
+    if args.pilot:
+        import experiments.pruned_budget_pilot as pp
+        from itsd_tpu.train.checkpoint import restore_params
+        assert not args.T, "--pilot already runs at its native T"
+        img, T = pp.IMG, pp.PILOT_T
+        model = pp.build_pilot_unet()
+        adir = os.path.join(ARTIFACTS, "pilot16_uncond")
+        assert os.path.isdir(adir), \
+            "run experiments/pruned_budget_pilot.py first (trains it)"
+        tmpl = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, img, img, 3), jnp.float32),
+                          jnp.zeros((1,), jnp.int32))
+        params = restore_params(adir, tmpl)
+        clf_dir = os.path.join(ARTIFACTS, "classifier_pilot16")
+        out_json = os.path.join(RESULTS, "guard_sweep_pilot.json")
+        note(f"PILOT scale: {img}x{img} native T={T} -> {out_json}")
+    else:
+        img = 32
+        params = _bench.load_artifact_params("shapes32_uncond")
+        assert params is not None, "artifacts/shapes32_uncond missing"
+        model, _ = ta.build_unet("shapes32_uncond")
+        T = args.T or ta.TRAIN_T
+        clf_dir = os.path.join(ARTIFACTS, "classifier_shapes32")
+        if args.T:
+            out_json = os.path.join(RESULTS, "guard_sweep_smoke.json")
+            note(f"SMOKE T={T}: writing to {out_json}, not the real "
+                 "result")
     sched = linear_schedule(1e-4, 0.02, T)
-    if args.T:
-        out_json = os.path.join(RESULTS, "guard_sweep_smoke.json")
-        note(f"SMOKE T={T}: writing to {out_json}, not the real result")
     eps_fn = lambda x, t: model.apply(params, x, t)
 
-    logit_fn, _, _ = load_classifier(
-        os.path.join(ARTIFACTS, "classifier_shapes32"))
+    logit_fn, _, _ = load_classifier(clf_dir)
     B = args.batch
     targets = jnp.full((B,), TARGET, jnp.int32)
 
@@ -108,9 +141,11 @@ def main():
         logp = jax.nn.log_softmax(logit_fn(unit), axis=-1)
         return logp[jnp.arange(B), targets].mean()
 
-    images, _ = shapes_dataset(n=2048, img_size=32, num_labels=10, seed=0)
-    fid_proxy = make_fid_proxy(jnp.asarray(images[-512:]))
-    shape = (B, 32, 32, 3)
+    images, _ = shapes_dataset(n=2048, img_size=img, num_labels=10,
+                               seed=0)
+    fid_proxy = make_fid_proxy(jnp.asarray(images[-512:]),
+                               pool_hw=4 if args.pilot else 8)
+    shape = (B, img, img, 3)
     denoise = lambda noise, k: sample(sched, eps_fn, noise, k)
     jden = jax.jit(denoise)
 
@@ -265,16 +300,20 @@ def main():
 
     report["meta"] = {
         "workload": ("guard sweep: search budget vs verifier score and "
-                     "independent FID-proxy; trained shapes32_uncond, "
-                     f"classifier verifier target {TARGET}, T={T} "
+                     "independent FID-proxy; trained "
+                     + ("pilot16_uncond (reduced-scale pilot)"
+                        if args.pilot else "shapes32_uncond")
+                     + f", classifier verifier target {TARGET}, T={T} "
                      f"ancestral, batch {B}/candidate, "
                      f"{args.seeds} seeds/cell"),
+        "backend": backend,
+        "scale": "pilot" if args.pilot else "full",
         "guard": ("product guard flags winner_proxy > guard_ratio * "
                   "baseline_mean; baseline pooled over "
                   f"{report['baseline']['n_draws']} seeded draws"),
     }
     _save(out_json, report)
-    make_plot(out_json, os.path.join(RESULTS, "guard_sweep.png"))
+    make_plot(out_json, os.path.splitext(out_json)[0] + ".png")
 
 
 def _save(path, report):

@@ -11,8 +11,15 @@ TRAINED committed artifact (shapes32_uncond + classifier_shapes32), over
   - E[best] for full best-of-16 (2x the NFE)
 plus the independent FID-proxy of each winner (verifier-hacking check).
 
+The claim under test (quality at equal NFE) is backend-independent —
+the chains are bit-identical programs on any backend — so a CPU run is
+a valid measurement of E[best]; only wall_s is hardware-specific. A
+non-TPU run therefore writes to pruned_budget_<backend>.json (with the
+backend recorded inside) so a later on-chip capture can land beside it
+rather than on top of it.
+
 Usage: python experiments/pruned_budget.py [--seeds 20]
-Writes: docs/results/pruned_budget.json
+Writes: docs/results/pruned_budget.json (resumable per seed)
 """
 
 from __future__ import annotations
@@ -103,10 +110,77 @@ def main():
         sc, bi = run_pool(k)
         return np.asarray(sc), np.asarray(bi)
 
+    backend = jax.default_backend()
+    path = os.path.join(
+        RESULTS,
+        "pruned_budget_smoke.json" if args.T
+        else ("pruned_budget.json" if backend == "tpu"
+              else f"pruned_budget_{backend}.json"))
+
+    # Per-seed resumable: a relay flap (or a long CPU run interrupted)
+    # keeps every finished seed, including the 16-score pools the
+    # bootstrap needs.
     rows = {"pruned": [], "bestof16": []}
     pool_scores_all = []
+    if os.path.isfile(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev.get("seeds_done", 0) and prev.get("backend") == backend:
+            rows = prev["per_seed"]
+            pool_scores_all = [np.asarray(p, np.float64)
+                               for p in prev["pool_scores"]]
+            note(f"resuming at seed {len(pool_scores_all)} from {path}")
+
+    def save(complete):
+        summary = {
+            "workload": ("pruned successive-halving vs best-of-N at equal "
+                         "NFE; trained shapes32_uncond, classifier "
+                         f"verifier (target {TARGET}), T=1000 ancestral, "
+                         f"{args.seeds} seeds"),
+            "backend": backend,
+            "prune_schedule": [list(p) for p in PSCHED],
+            "nfe": {"pruned": nfe_pruned, "bestof16": N_START},
+            "complete": complete,
+            "seeds_done": len(pool_scores_all),
+            "wall_s": round(time.time() - t0, 1),
+            "per_seed": rows,
+            "pool_scores": [np.asarray(p).tolist()
+                            for p in pool_scores_all],
+        }
+        if pool_scores_all:
+            pools = np.stack(pool_scores_all)  # [seeds_done, 16]
+            rng = np.random.default_rng(0)
+
+            def ebest_at(n):
+                # E[max of n] by bootstrap over the measured pools
+                idx = rng.integers(0, pools.shape[1],
+                                   size=(400, pools.shape[0], n))
+                return float(np.nanmax(
+                    np.take_along_axis(pools[None].repeat(400, 0), idx,
+                                       axis=2),
+                    axis=2).mean())
+
+            summary["E_best"] = {
+                "pruned_16start": float(np.mean(
+                    [r["score"] for r in rows["pruned"]])),
+                "bestof16_full": float(np.mean(
+                    [r["score"] for r in rows["bestof16"]])),
+                f"random_bestof{nfe_pruned}_equal_nfe":
+                    ebest_at(int(round(nfe_pruned))),
+                "random_bestof8": ebest_at(8),
+            }
+            summary["fid_proxy_mean"] = {
+                "pruned": float(np.mean(
+                    [r["fid_proxy"] for r in rows["pruned"]])),
+                "bestof16": float(np.mean(
+                    [r["fid_proxy"] for r in rows["bestof16"]])),
+            }
+        with open(path, "w") as f:
+            json.dump(summary, f, indent=1)
+        return summary
+
     t0 = time.time()
-    for s in range(args.seeds):
+    for s in range(len(pool_scores_all), args.seeds):
         k = jax.random.PRNGKey(1000 + s)
         imgs_p = run_pruned(k)
         sp = float(verifier(imgs_p))
@@ -115,50 +189,11 @@ def main():
         pool_scores_all.append(scores)
         rows["bestof16"].append({"score": float(np.nanmax(scores)),
                                  "fid_proxy": fid_proxy(imgs_b)})
+        save(complete=False)
         note(f"seed {s}: pruned {sp:.4f} vs best-of-16 "
              f"{rows['bestof16'][-1]['score']:.4f} "
              f"({time.time()-t0:.0f}s)")
-
-    pools = np.stack(pool_scores_all)  # [seeds, 16]
-    rng = np.random.default_rng(0)
-
-    def ebest_at(n):
-        # E[max of n] by bootstrap over the measured pools
-        idx = rng.integers(0, pools.shape[1],
-                           size=(400, pools.shape[0], n))
-        return float(np.nanmax(
-            np.take_along_axis(pools[None].repeat(400, 0), idx, axis=2),
-            axis=2).mean())
-
-    summary = {
-        "workload": ("pruned successive-halving vs best-of-N at equal NFE; "
-                     "trained shapes32_uncond, classifier verifier "
-                     f"(target {TARGET}), T=1000 ancestral, "
-                     f"{args.seeds} seeds"),
-        "prune_schedule": [list(p) for p in PSCHED],
-        "nfe": {"pruned": nfe_pruned, "bestof16": N_START},
-        "E_best": {
-            "pruned_16start": float(np.mean(
-                [r["score"] for r in rows["pruned"]])),
-            "bestof16_full": float(np.mean(
-                [r["score"] for r in rows["bestof16"]])),
-            f"random_bestof{nfe_pruned}_equal_nfe": ebest_at(nfe_pruned),
-            "random_bestof8": ebest_at(8),
-        },
-        "fid_proxy_mean": {
-            "pruned": float(np.mean(
-                [r["fid_proxy"] for r in rows["pruned"]])),
-            "bestof16": float(np.mean(
-                [r["fid_proxy"] for r in rows["bestof16"]])),
-        },
-        "wall_s": round(time.time() - t0, 1),
-        "per_seed": rows,
-    }
-    path = os.path.join(
-        RESULTS,
-        "pruned_budget_smoke.json" if args.T else "pruned_budget.json")
-    with open(path, "w") as f:
-        json.dump(summary, f, indent=1)
+    summary = save(complete=True)
     note(json.dumps(summary["E_best"]))
     note(f"-> {path}")
 
