@@ -18,6 +18,7 @@ Steps (VERDICT r3 "next round" items 1/2/4/5/6/8):
   flash_tune       flash-attention block-size sweep at the flagship shape
   vit_large        DiT-scale ViT remat/rbg MFU matrix
   guard_sweep      verifier-hacking budget-sweep curves
+  restart_budget   restart-sampling quality-vs-NFE on the trained artifact
   flagship_train   ch=128 256x256 flagship training (segmented/resumable)
   flagship_search  best-of-N on the full-width flagship through the CLI
 
@@ -141,6 +142,9 @@ def main():
         ("guard_sweep",
          [PY, os.path.join(exp, "guard_sweep.py"), "--seeds", "3"],
          7200, None),
+        ("restart_budget",
+         [PY, os.path.join(exp, "restart_budget.py"), "--seeds", "10"],
+         2700, None),
         ("flagship_train",
          [PY, os.path.join(exp, "train_artifacts.py"), "--only",
           "shapes256_flagship", "--steps256", str(args.flagship_steps),

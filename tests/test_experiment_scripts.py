@@ -192,3 +192,50 @@ def test_flash_tune_wiring_interpret_mode(tmp_path, monkeypatch):
     ft.main()
     rep2 = json.load(open(tmp_path / "flash_tune.json"))
     assert json.dumps(rep2["cells"], sort_keys=True) == before
+
+
+def test_restart_budget_wiring(tmp_path, monkeypatch):
+    """restart_budget.py is tpu_window-queued: prove its wiring (arm
+    programs, NFE stamps, per-cell resume, summary format) on CPU with a
+    tiny stand-in artifact before it ever spends chip time."""
+    import bench as _bench
+    import experiments.restart_budget as rb
+    import itsd_tpu.models.classifier as clf
+    from itsd_tpu.models import UNet, uncond_unet_config
+
+    cfg = uncond_unet_config(ch=8, ch_mult=(1,), attn=(),
+                             num_res_blocks=1, dropout=0.0, T=8,
+                             time_embed="functional", dtype="float32")
+    tiny = UNet(cfg)
+    params = tiny.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 32, 32, 3)),
+                       jnp.zeros((1,), jnp.int32))
+    monkeypatch.setattr(_bench, "load_artifact_params",
+                        lambda name: params)
+    monkeypatch.setattr(ta, "build_unet",
+                        lambda name, **kw: (tiny, False))
+    monkeypatch.setattr(ta, "TRAIN_T", 8)
+    monkeypatch.setattr(
+        clf, "load_classifier",
+        lambda p: (lambda x: jnp.zeros((x.shape[0], 10)), None, None))
+    monkeypatch.setattr(rb, "RESULTS", str(tmp_path))
+    monkeypatch.setattr(rb, "ARMS",
+                        {"plain": (), "bounce": ((6, 2, 1),)})
+    monkeypatch.setattr(sys, "argv",
+                        ["restart_budget.py", "--seeds", "2",
+                         "--batch", "2"])
+    rb.main()
+
+    out = tmp_path / "restart_budget_cpu.json"
+    rep = json.load(open(out))
+    assert {c["arm"] for c in rep["cells"]} == {"plain", "bounce"}
+    assert len(rep["cells"]) == 4
+    assert rep["summary"]["plain"]["nfe_per_image"] == 8
+    assert rep["summary"]["bounce"]["nfe_per_image"] == 8 + 4
+    assert all(np.isfinite(c["fid_proxy"]) for c in rep["cells"])
+
+    # per-cell resume: a second invocation re-measures nothing
+    before = json.dumps(rep["cells"], sort_keys=True)
+    rb.main()
+    rep2 = json.load(open(out))
+    assert json.dumps(rep2["cells"], sort_keys=True) == before
