@@ -377,6 +377,8 @@ def _train_impl(cfg: Config, mesh, spatial_k: int,
         lambda p, *a, **kw: model.apply(p, *a, **kw), sched, tx,
         conditional=conditional,
         loss_reduction=cfg.train.loss_reduction,
+        loss_weighting=cfg.train.loss_weighting,
+        snr_gamma=cfg.train.snr_gamma,
         label_dropout=cfg.train.label_dropout,
         ema_decay=cfg.train.ema_decay)
 
@@ -1163,6 +1165,8 @@ def finetune_extended_T(cfg: Config, max_steps: Optional[int] = None) -> dict:
         lambda p, *a, **kw: model.apply(p, *a, **kw), sched, tx,
         conditional=conditional, ema_decay=None,
         loss_reduction=cfg.train.loss_reduction,
+        loss_weighting=cfg.train.loss_weighting,
+        snr_gamma=cfg.train.snr_gamma,
         label_dropout=cfg.train.label_dropout)
 
     key = make_train_key(cfg)

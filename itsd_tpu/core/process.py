@@ -69,6 +69,26 @@ def mse_elementwise(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.square(pred - target)
 
 
+def snr(sched: DiffusionSchedule, t: jnp.ndarray) -> jnp.ndarray:
+    """Per-timestep signal-to-noise ratio SNR_t = alphas_bar_t/(1-alphas_bar_t)."""
+    ab = sched.alphas_bar[t]
+    return ab / (1.0 - ab)
+
+
+def min_snr_weight(sched: DiffusionSchedule, t: jnp.ndarray,
+                   gamma: float = 5.0) -> jnp.ndarray:
+    """Min-SNR-gamma loss weight for eps-prediction (Hang et al. 2023,
+    arXiv 2303.09556): w_t = min(SNR_t, gamma) / SNR_t.
+
+    Down-weights the easy low-t (high-SNR) timesteps so training effort
+    concentrates where it moves sample quality; w_t == 1 wherever
+    SNR_t <= gamma (i.e. most of a T=1000 linear-beta chain). Training
+    improvement beyond the reference (which uses unweighted MSE,
+    `Diffusion/Diffusion.py:46`)."""
+    s = snr(sched, t)
+    return jnp.minimum(s, gamma) / s
+
+
 def loss_reduce(loss: jnp.ndarray, mode: str = "mean") -> jnp.ndarray:
     """Reduce an elementwise loss. ``mode='mean'`` matches the unconditional
     loop (`Train.py:694`); ``mode='sum_div_b2'`` matches the CFG loop's

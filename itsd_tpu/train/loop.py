@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..core.process import diffusion_train_terms, loss_reduce, mse_elementwise
+from ..core.process import (diffusion_train_terms, loss_reduce,
+                            min_snr_weight, mse_elementwise)
 from ..core.schedules import DiffusionSchedule
 
 
@@ -75,6 +76,8 @@ def make_train_step(
     *,
     conditional: bool = False,
     loss_reduction: str = "mean",
+    loss_weighting: str = "none",
+    snr_gamma: float = 5.0,
     label_dropout: float = 0.1,
     ema_decay: Optional[float] = 0.999,
     donate: bool = True,
@@ -102,7 +105,13 @@ def make_train_step(
         else:
             eps = apply_fn(params, x_t, t, deterministic=False,
                            rngs={"dropout": dkey})
-        loss = loss_reduce(mse_elementwise(eps, noise), loss_reduction)
+        per_elem = mse_elementwise(eps, noise)
+        if loss_weighting == "min_snr":
+            w = min_snr_weight(sched, t, snr_gamma)
+            per_elem = per_elem * w.reshape((-1,) + (1,) * (per_elem.ndim - 1))
+        elif loss_weighting != "none":
+            raise ValueError(f"unknown loss weighting: {loss_weighting!r}")
+        loss = loss_reduce(per_elem, loss_reduction)
         return loss
 
     def step_fn(state: TrainState, batch, key) -> Tuple[TrainState, dict]:

@@ -75,6 +75,10 @@ class TrainCfg:
     weight_decay: float = 1e-4
     ema_decay: Optional[float] = 0.999
     loss_reduction: str = "mean"        # "sum_div_b2" for CFG parity
+    # "min_snr": Min-SNR-gamma weighting (Hang et al. 2023) — faster
+    # quality convergence per step; "none" = reference-parity uniform MSE
+    loss_weighting: str = "none"
+    snr_gamma: float = 5.0
     label_dropout: float = 0.1
     eval_freq: int = 5
     model_save_freq: int = 5

@@ -218,3 +218,44 @@ def test_vit_dp_tp_step_matches_single_device(key):
                     jax.tree.leaves(s_tp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=5e-5)
+
+
+def test_min_snr_weight_math():
+    """w_t = min(SNR_t, gamma)/SNR_t: == 1 on low-SNR (late) steps, == 
+    gamma/SNR_t < 1 on high-SNR (early) steps; monotone non-decreasing in t
+    for a linear-beta chain."""
+    from itsd_tpu.core.process import min_snr_weight, snr
+    sched = linear_schedule(1e-4, 0.02, 1000)
+    t = jnp.arange(1000)
+    s = np.asarray(snr(sched, t))
+    w = np.asarray(min_snr_weight(sched, t, gamma=5.0))
+    assert (s[:-1] > s[1:]).all()          # SNR decays with t
+    late = s <= 5.0
+    np.testing.assert_allclose(w[late], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(w[~late], 5.0 / s[~late], rtol=1e-6)
+    assert w[0] < 1e-2                      # t=0 is heavily down-weighted
+
+
+def test_min_snr_train_step_matches_unweighted_at_huge_gamma(key):
+    """gamma -> inf makes every weight 1, so the weighted step must equal
+    the plain one bit-for-bit given the same rng; a finite gamma must not."""
+    batch = {"image": jax.random.normal(key, (4, 8, 8, 3))}
+    state0, step_plain = _make_state_and_step(TINY)
+    _, step_inf = _make_state_and_step(TINY, loss_weighting="min_snr",
+                                       snr_gamma=1e30)
+    _, step_5 = _make_state_and_step(TINY, loss_weighting="min_snr",
+                                     snr_gamma=5.0)
+    k = jax.random.PRNGKey(7)
+    _, m_plain = step_plain(state0, batch, k)
+    _, m_inf = step_inf(state0, batch, k)
+    _, m_5 = step_5(state0, batch, k)
+    np.testing.assert_allclose(float(m_plain["loss"]), float(m_inf["loss"]),
+                               rtol=1e-6)
+    assert float(m_5["loss"]) <= float(m_plain["loss"]) + 1e-9
+
+
+def test_unknown_loss_weighting_raises(key):
+    state, step = _make_state_and_step(TINY, loss_weighting="bogus")
+    with pytest.raises(ValueError, match="loss weighting"):
+        step(state, {"image": jax.random.normal(key, (4, 8, 8, 3))},
+             jax.random.PRNGKey(0))
