@@ -19,6 +19,7 @@ Steps (VERDICT r3 "next round" items 1/2/4/5/6/8):
   vit_large        DiT-scale ViT remat/rbg MFU matrix
   guard_sweep      verifier-hacking budget-sweep curves
   restart_budget   restart-sampling quality-vs-NFE on the trained artifact
+  min_snr_ab       min-SNR loss-weighting A/B (quality per train step)
   flagship_train   ch=128 256x256 flagship training (segmented/resumable)
   flagship_search  best-of-N on the full-width flagship through the CLI
 
@@ -145,6 +146,8 @@ def main():
         ("restart_budget",
          [PY, os.path.join(exp, "restart_budget.py"), "--seeds", "10"],
          2700, None),
+        ("min_snr_ab",
+         [PY, os.path.join(exp, "min_snr_ab.py")], 2700, None),
         ("flagship_train",
          [PY, os.path.join(exp, "train_artifacts.py"), "--only",
           "shapes256_flagship", "--steps256", str(args.flagship_steps),
