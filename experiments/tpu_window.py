@@ -148,6 +148,12 @@ def main():
          2700, None),
         ("min_snr_ab",
          [PY, os.path.join(exp, "min_snr_ab.py")], 2700, None),
+        # re-run after the VMEM-budget-aware flash block chooser landed:
+        # the first sweep hit scoped-vmem compile OOM at batch>=24
+        ("mem256_budgeted",
+         [PY, os.path.join(exp, "perf_imagenet256.py"), "--skip-sampler",
+          "--remat-ab", "--mem-batches", "8,16,24,32,48,64", "--merge"],
+         4800, None),
         ("flagship_train",
          [PY, os.path.join(exp, "train_artifacts.py"), "--only",
           "shapes256_flagship", "--steps256", str(args.flagship_steps),

@@ -95,12 +95,72 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale: float,
             lse_ref[0] = (m_ref[:, 0] + jnp.log(l))[:, None]
 
 
-def _pick_block(n: int, prefs) -> int:
-    """Largest preferred block size that divides n (n itself as fallback)."""
-    for pref in prefs:
-        if n % pref == 0:
-            return min(pref, n)
-    return n
+# ---------------------------------------------------------------------------
+# VMEM-footprint-aware block selection.
+#
+# Scoped VMEM (the on-chip stack for pallas windows + intermediates) is
+# ~16 MB per concurrently-scheduled op on v5e. The dkv backward at the old
+# fixed (512, 1024) blocks with C=512 needs ~19 MB estimated (~18.84 MB
+# observed: the 256x256 ch=128 train step failed to COMPILE at batch >= 24
+# with "Scoped allocation with size 18.84M and limit 16.00M", see
+# docs/results/imagenet256.json train_memory_sweep + docs/PERF.md) — an
+# on-chip SRAM wall, not an HBM one. The estimators below model each
+# kernel's footprint (double-buffered in/out windows + f32 accumulators +
+# f32 score-sized intermediates) and the pair chooser walks a
+# perf-preference list, returning the first pair that fits the budget.
+# ---------------------------------------------------------------------------
+
+_DB = 2  # Mosaic double-buffers each in/out window across grid steps
+
+
+def _fwd_vmem_estimate(bq: int, bk: int, c: int, itemsize: int) -> int:
+    win = _DB * (2 * bq * c + 2 * bk * c) * itemsize   # q + o in/out; k, v
+    scratch = (bq * c + 2 * bq) * 4                    # acc + m + l (f32)
+    inter = 2 * bq * bk * 4                            # s, p (f32)
+    return win + scratch + inter
+
+
+def _dq_vmem_estimate(bq: int, bk: int, c: int, itemsize: int) -> int:
+    win = _DB * (2 * bq * c + 2 * bk * c + bq * c) * itemsize  # q,do,k,v,dq
+    scratch = bq * c * 4                                        # dq_acc
+    inter = 4 * bq * bk * 4                                     # s,p,dp,ds
+    return win + scratch + inter
+
+
+def _dkv_vmem_estimate(bq: int, bk: int, c: int, itemsize: int) -> int:
+    win = _DB * (2 * bk * c + 2 * bq * c + 2 * bk * c) * itemsize
+    scratch = 2 * bk * c * 4                                    # dk/dv acc
+    inter = 4 * bq * bk * 4
+    return win + scratch + inter
+
+
+# (block_q, block_k) in descending perf preference — (512, 1024) is the
+# measured v5e forward optimum at the flagship shape (flash_tune.json).
+_PAIR_PREFS = ((512, 1024), (512, 512), (256, 512), (512, 256), (256, 256),
+               (128, 256), (256, 128), (128, 128))
+
+
+def _vmem_budget_bytes() -> int:
+    import os
+    return int(float(os.environ.get("ITSD_FLASH_VMEM_BUDGET_MB", "16"))
+               * (1 << 20))
+
+
+def _pick_block_pair(n: int, c: int, itemsize: int, estimators) -> tuple:
+    """First preference pair dividing ``n`` whose worst-case estimate over
+    ``estimators`` fits the scoped-VMEM budget; the largest dividing pair
+    as a last resort (tiny shapes where every estimate fits anyway)."""
+    budget = _vmem_budget_bytes()
+    fallback = None
+    for bq, bk in _PAIR_PREFS:
+        bq2, bk2 = min(bq, n), min(bk, n)
+        if n % bq2 or n % bk2:
+            continue
+        if fallback is None:
+            fallback = (bq2, bk2)
+        if max(est(bq2, bk2, c, itemsize) for est in estimators) <= budget:
+            return bq2, bk2
+    return fallback if fallback is not None else (n, n)
 
 
 def _require_pltpu():
@@ -117,8 +177,10 @@ def _flash_forward(q, k, v, scale, block_q=0, block_k=0, interpret=False,
     divides N. Returns o, or (o, lse) when ``emit_lse``."""
     _require_pltpu()
     B, N, C = q.shape
-    block_q = min(block_q or _pick_block(N, (512, 256, 128)), N)
-    block_k = min(block_k or _pick_block(N, (1024, 512, 256, 128)), N)
+    auto_q, auto_k = _pick_block_pair(N, C, q.dtype.itemsize,
+                                      (_fwd_vmem_estimate,))
+    block_q = min(block_q or auto_q, N)
+    block_k = min(block_k or auto_k, N)
     assert N % block_q == 0 and N % block_k == 0, (N, block_q, block_k)
     kv_blocks = N // block_k
     kernel = functools.partial(_flash_fwd_kernel, scale=scale,
@@ -242,8 +304,14 @@ def _attention_flash_bwd(q, k, v, o, lse, do, scale, block_q=0,
     """
     _require_pltpu()
     B, N, C = q.shape
-    block_q = min(block_q or _pick_block(N, (512, 256, 128)), N)
-    block_k = min(block_k or _pick_block(N, (1024, 512, 256, 128)), N)
+    # budget-aware: BOTH bwd kernels share the pair, so both must fit
+    # (the old fixed (512, 1024) overflowed scoped vmem at C=512 — the
+    # 256x256 batch>=24 compile failure, docs/PERF.md)
+    auto_q, auto_k = _pick_block_pair(N, C, q.dtype.itemsize,
+                                      (_dq_vmem_estimate,
+                                       _dkv_vmem_estimate))
+    block_q = min(block_q or auto_q, N)
+    block_k = min(block_k or auto_k, N)
     q_blocks = N // block_q
     kv_blocks = N // block_k
     # D_i = rowsum(dO * O) (the softmax-jacobian diagonal term)
