@@ -56,9 +56,14 @@ ARCHS = {
     # example/imagenet_ep50_bs1024_T1000_lr1e-4.sh: ch=128, (1,2,3,4),
     # attn@stage2, dropout 0.15): ~108M params, bf16 artifact ~216 MB.
     # Trained in relay-safe resumable segments (VERDICT r4 item 6).
+    # lr: the shared 2e-4 default with warmup multiplier 2.0 (peak 4e-4)
+    # DIVERGED this 83M model at batch 8 — loss trained to 0.02 by step
+    # 750, then collapsed to the trivial eps=0 solution (loss pinned at
+    # ~1.0) right at the warmup peak. 5e-5 flat is scaled for batch 8
+    # (the reference uses 1e-4 at batch 1024).
     "shapes256_flagship": dict(img=256, ch=128, ch_mult=(1, 2, 3, 4),
                                attn=(2,), num_res_blocks=2, dropout=0.15,
-                               num_labels=None),
+                               num_labels=None, lr=5e-5, multiplier=1.0),
 }
 TRAIN_T = 1000
 # full-state resume checkpoint cadence (steps); module-level so the CPU
@@ -138,7 +143,8 @@ def train_diffusion(name, steps, batch, seed=0):
 
     epochs = max(1, steps * batch // len(images))
     tx = make_optimizer(OptimizerConfig(
-        lr=2e-4, epochs=epochs, steps_per_epoch=len(images) // batch,
+        lr=a.get("lr", 2e-4), multiplier=a.get("multiplier", 2.0),
+        epochs=epochs, steps_per_epoch=len(images) // batch,
         ema_decay=0.999))
     state = create_train_state(params, tx, ema=True)
     step_fn = make_train_step(
@@ -210,6 +216,19 @@ def train_diffusion(name, steps, batch, seed=0):
         lossN = float(losses[-1])
         note(f"{name}: step {done} loss {lossN:.4f} "
              f"({(done-start)/(time.time()-t0):.1f} steps/s)")
+        # fail-fast divergence guard: eps-MSE collapses to ~1.0 (the
+        # trivial eps=0 solution) when the optimizer blows up; by step 300
+        # every artifact here trains well below 0.2. Burn no more chip
+        # time, drop the poisoned resume state, and let the orchestrator
+        # retry fresh.
+        if done >= 300 and float(losses.mean()) > 0.5:
+            import shutil
+            shutil.rmtree(resume_path, ignore_errors=True)
+            shutil.rmtree(resume_path + ".new", ignore_errors=True)
+            raise RuntimeError(
+                f"{name}: training diverged (chunk mean loss "
+                f"{float(losses.mean()):.3f} at step {done}); resume "
+                "state removed — fix the optimizer config and retry")
         if done - last_saved >= RESUME_EVERY and done < steps:
             import shutil
             tmp = resume_path + ".new"
