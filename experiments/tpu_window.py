@@ -154,6 +154,12 @@ def main():
          [PY, os.path.join(exp, "perf_imagenet256.py"), "--skip-sampler",
           "--remat-ab", "--mem-batches", "8,16,24,32,48,64", "--merge"],
          4800, None),
+        # time the batch the VMEM fix unlocked (was a compile failure)
+        ("train256_b24",
+         [PY, os.path.join(exp, "perf_imagenet256.py"), "--skip-sampler",
+          "--train-batch", "24",
+          "--out", os.path.join(RESULTS, "imagenet256_b24.json")],
+         2400, None),
         ("flagship_train",
          [PY, os.path.join(exp, "train_artifacts.py"), "--only",
           "shapes256_flagship", "--steps256", str(args.flagship_steps),
