@@ -36,15 +36,29 @@ def main():
                          "launch of chunk*batch rows must stay under the "
                          "TPU-worker watchdog, ~1 min device time)")
     ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--segments", type=int, default=8,
+                    help="search.launch_segments: launches the T=1000 chain "
+                         "is split into per chunk. At ch=128 a single "
+                         "4-row x 1000-step launch runs >1 min of device "
+                         "time and the TPU-worker watchdog kills the worker "
+                         "(observed 2026-08-19); 125-step launches are safe")
     ap.add_argument("--target", type=int, default=3)
     ap.add_argument("--arch", default="shapes256_uncond",
                     choices=["shapes256_uncond", "shapes256_flagship"],
                     help="committed artifact to search (shapes256_flagship "
                          "= the reference's exact ch=128 width)")
+    ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "dpm"],
+                    help="dpm = best-of-N over DPM-Solver++(2M)-"
+                         "--sampler-steps candidates (the Axis-3 fixed-NFE "
+                         "result at flagship width, ~1/50 the NFE of "
+                         "T=1000 ancestral candidates)")
+    ap.add_argument("--sampler-steps", type=int, default=20)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.out is None:
         suffix = "" if args.arch == "shapes256_uncond" else "_ch128"
+        if args.sampler != "ddpm":
+            suffix += f"_{args.sampler}{args.sampler_steps}"
         args.out = os.path.join(REPO, "docs", "results",
                                 f"flagship256_search{suffix}.json")
 
@@ -69,6 +83,12 @@ def main():
         "search.algorithm=random",
         f"search.n_candidates={args.candidates}",
         f"search.candidate_chunk={args.chunk}",
+        # fast-sampler candidates run few steps per launch already; the
+        # watchdog-bounding launch split applies to ancestral chains only
+        f"search.launch_segments="
+        f"{args.segments if args.sampler == 'ddpm' else 1}",
+        f"diffusion.sampler={args.sampler}",
+        f"diffusion.ddim_steps={args.sampler_steps}",
         "search.verifier=classifier",
         f"search.classifier_ckpt={os.path.join(ta.ARTIFACTS, 'classifier_shapes256')}",
         f"search.target_label={args.target}",
@@ -87,17 +107,23 @@ def main():
     out = run_search(cfg)
     wall = time.time() - t0
     scores = np.asarray(out["result"].history["scores"], np.float64)
-    evals = args.candidates * args.batch * ta.TRAIN_T
+    steps_per_cand = (ta.TRAIN_T if args.sampler == "ddpm"
+                      else args.sampler_steps)
+    evals = args.candidates * args.batch * steps_per_cand
+    chain = ("T=1000 ancestral"
+             if args.sampler == "ddpm"
+             else f"DPM-Solver++(2M)-{args.sampler_steps}")
     rec = {
         "workload": (f"flagship 256x256: best-of-{args.candidates} random "
-                     f"search, T=1000 ancestral, trained {args.arch} "
+                     f"search, {chain}, trained {args.arch} "
                      "(attention at 4096 tokens), classifier verifier"),
         "model": f"ch={a['ch']} mult={a['ch_mult']} attn={a['attn']} img=256",
         "weights": f"trained EMA (artifacts/{args.arch}, shapes256)",
         "verifier": ("trained SmallCNN depth-4 "
                      "(artifacts/classifier_shapes256): mean target-class "
                      "log-prob"),
-        "sampler": "ddpm", "T": ta.TRAIN_T,
+        "sampler": args.sampler, "steps_per_candidate": steps_per_cand,
+        "T": ta.TRAIN_T,
         "n_candidates": args.candidates, "per_candidate_batch": args.batch,
         "device": "TPU v5 lite0",
         "wall_s_incl_compile": wall,

@@ -22,6 +22,10 @@ Steps (VERDICT r3 "next round" items 1/2/4/5/6/8):
   min_snr_ab       min-SNR loss-weighting A/B (quality per train step)
   flagship_train   ch=128 256x256 flagship training (segmented/resumable)
   flagship_search  best-of-N on the full-width flagship through the CLI
+  flagship_im      inference-metrics (C31) on the flagship at the
+                   reference's extended-T operating point (T=3000 tracked)
+  flagship_search_dpm  best-of-16 over DPM-Solver++(2M)-20 candidates at
+                   full width (Axis 3 at the flagship operating point)
 
 Usage: python experiments/tpu_window.py [--skip step,step] [--only step]
 Exit: 0 all done/attempted, 3 relay down (retry later).
@@ -172,6 +176,17 @@ def main():
          [PY, os.path.join(exp, "flagship256_search.py"), "--arch",
           "shapes256_flagship", "--candidates", "16", "--chunk", "2"],
          5400, None),
+        ("flagship_im",
+         [PY, os.path.join(exp, "flagship_inference_metrics.py")],
+         3600, None),
+        # Axis 3 at full width: best-of-16 over DPM-Solver++(2M)-20
+        # candidates on the ch=128 flagship — 640 model evals vs the
+        # ancestral run's 32,000
+        ("flagship_search_dpm",
+         [PY, os.path.join(exp, "flagship256_search.py"), "--arch",
+          "shapes256_flagship", "--candidates", "16", "--chunk", "2",
+          "--sampler", "dpm"],
+         2400, None),
         # last: a FULL bench pass so every T=1000 program (incl. the
         # budgeted-block backward) is in the persistent XLA cache before
         # the driver's official BENCH_r04 capture — and we get a builder
@@ -199,7 +214,9 @@ def main():
                 results[name] = "deadline"
                 note(f"{name}: skipped (window deadline)")
                 continue
-        if name == "flagship_search" and not stamped("flagship_train"):
+        if (name in ("flagship_search", "flagship_im",
+                     "flagship_search_dpm")
+                and not stamped("flagship_train")):
             results[name] = "blocked (flagship_train not done)"
             continue
         ms = probe_device()

@@ -221,6 +221,40 @@ def run_sampler(cfg: Config, sched, eps_fn, x_T, key):
                   clip_denoised=cfg.diffusion.clip_denoised)
 
 
+def _segmented_chain(cfg: Config, sched, eps_fn, seg_n: int):
+    """Ancestral sampling as ``seg_n`` host-chained device launches.
+
+    Bit-identical to one `core.sampling.sample` call with the same key: the
+    scan's carried PRNG key is returned from each launch and threaded into
+    the next (`denoise_segment(return_key=True)`). Exists to bound
+    per-launch DEVICE time — a chunk*batch x T=1000 launch of the ch=128
+    256x256 flagship runs minutes on-device, and TPU-worker watchdogs kill
+    the worker mid-flight ("TPU worker process crashed or restarted",
+    observed live on `experiments/flagship256_search.py`).
+    """
+    import functools
+
+    from ..core import denoise_segment
+
+    T = sched.T
+    cuts = sorted({round(T * i / seg_n) for i in range(seg_n + 1)})
+    assert cuts[0] == 0 and cuts[-1] == T
+    bounds = [(cuts[i + 1], cuts[i]) for i in range(len(cuts) - 1)][::-1]
+
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def _seg(x, k, hi, lo):
+        return denoise_segment(sched, eps_fn, x, k, hi, lo,
+                               clip_denoised=cfg.diffusion.clip_denoised,
+                               return_key=True)
+
+    def run(x, key):
+        for hi, lo in bounds:
+            x, key = _seg(x, key, hi, lo)
+        return jnp.clip(x, -1.0, 1.0)
+
+    return run
+
+
 def make_eps_fn(model, params, conditional: bool, labels=None,
                 w: float = 0.0):
     """eps_fn(x, t) for the sampler: plain for unconditional, dual-batched
@@ -933,14 +967,52 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
     # random/zero-order/path are pure programs: jit them END-TO-END so the
     # candidate sweep is one compiled computation (re-invoking the eager
     # path would re-trace the sampler scan every call).
-    from ..search.algorithms import SearchResult
+    from ..search.algorithms import SearchResult, _nan_to_neg_inf
+    seg_n = max(1, int(s.launch_segments or 1))
+    seg_chain = None
+    if seg_n > 1:
+        if s.algorithm != "random":
+            raise ValueError(
+                "search.launch_segments is a random-search knob (the other "
+                "algorithms interleave scoring with the chain)")
+        if cfg.diffusion.sampler != "ddpm" or cfg.diffusion.restart_intervals:
+            raise ValueError(
+                "search.launch_segments splits the ancestral T-step chain "
+                "across device launches; it requires diffusion.sampler=ddpm "
+                "without restart_intervals (the fast samplers already run "
+                "few steps per launch)")
+        seg_chain = _segmented_chain(cfg, sched, eps_fn, seg_n)
     if s.algorithm == "random":
-        @jax.jit
-        def _run(k):
-            r = random_search(k, shape, denoise_fn, verifier_fn,
-                              n_candidates=chunk, sharding=cand_sh)
-            return (r.best_noise, r.best_score, r.best_images,
-                    r.history["scores"])
+        if seg_chain is not None:
+            # The single-launch program decomposed into bounded launches:
+            # generate -> seg_n chain segments -> score+argmax. Bit-identical
+            # to the launch_segments=1 path (tests/test_search_segmented.py).
+            @jax.jit
+            def _gen(k):
+                kn, kd = jax.random.split(k)
+                noises = jax.random.normal(kn, (chunk,) + tuple(shape))
+                flat = noises.reshape((chunk * shape[0],) + tuple(shape[1:]))
+                if cand_sh is not None:
+                    flat = jax.lax.with_sharding_constraint(flat, cand_sh)
+                return noises, flat, kd
+
+            @jax.jit
+            def _pick(noises, flat):
+                images = flat.reshape((chunk,) + tuple(shape))
+                scores = jax.vmap(verifier_fn)(images)
+                best = jnp.argmax(_nan_to_neg_inf(scores))
+                return noises[best], scores[best], images[best], scores
+
+            def _run(k):
+                noises, x, kd = _gen(k)
+                return _pick(noises, seg_chain(x, kd))
+        else:
+            @jax.jit
+            def _run(k):
+                r = random_search(k, shape, denoise_fn, verifier_fn,
+                                  n_candidates=chunk, sharding=cand_sh)
+                return (r.best_noise, r.best_score, r.best_images,
+                        r.history["scores"])
         # One compiled program per chunk shape; chunks reuse it. The host
         # keeps the running argmax — a sync per chunk, not per candidate
         # (the reference syncs per candidate, `search_algorithm.py:65-82`).
@@ -1078,7 +1150,10 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
                                           clip_denoised=cfg.diffusion
                                           .clip_denoised)
         else:
-            base_fn = denoise_fn
+            # with launch_segments active, the baseline draws must ride the
+            # same bounded-launch chain (it IS the winner's chain, and a
+            # single full-T launch is what the watchdog kills)
+            base_fn = seg_chain if seg_chain is not None else denoise_fn
         # Pool the baseline over several independent seeded draws: at
         # eval_bs=4-8 one draw's Frechet-proxy estimate is high-variance
         # (rank-deficient covariances), so flagged/not-flagged at
@@ -1088,7 +1163,10 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
         # are bit-identical to the pre-pooling seeded behaviour.
         draws = max(1, int(s.guard_baseline_draws))
         base_vals = []
-        jit_base = jax.jit(base_fn)
+        # seg_chain is already a host loop over jitted launches — jitting it
+        # would fuse the segments back into one watchdog-length program
+        jit_base = base_fn if base_fn is seg_chain and seg_chain is not None \
+            else jax.jit(base_fn)
         for di in range(draws):
             base_imgs = jit_base(
                 jax.random.normal(

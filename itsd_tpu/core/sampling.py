@@ -88,18 +88,25 @@ def sample(sched: DiffusionSchedule, eps_fn: EpsFn, x_T: jnp.ndarray,
 def denoise_segment(sched: DiffusionSchedule, eps_fn: EpsFn, x_t: jnp.ndarray,
                     key: jax.Array, t_from: int, t_to: int = 0, *,
                     clip_output: bool = False,
-                    clip_denoised: bool = False) -> jnp.ndarray:
+                    clip_denoised: bool = False,
+                    return_key: bool = False) -> jnp.ndarray:
     """Denoise from state x_{t_from} down to x_{t_to}.
 
     ``t_from``/``t_to`` are *static* Python ints (search injection points are
     config constants), so each distinct segment compiles once. ``t_from`` is
     exclusive-high in timestep terms: the first step evaluated is
     t = t_from - 1; with t_to = 0 this finishes the chain.
+
+    ``return_key=True`` also returns the scan's carried PRNG key, so a chain
+    of segments chained across separate device launches (to bound per-launch
+    device time under TPU-worker watchdogs) is bit-identical to one
+    ``sample`` call with the same starting key.
     """
     assert 0 <= t_to < t_from <= sched.T, (t_from, t_to)
-    x, _ = _scan_steps(sched, eps_fn, x_t, key, t_from, t_to,
-                       clip_x0=clip_denoised)
-    return jnp.clip(x, -1.0, 1.0) if clip_output else x
+    x, k_out = _scan_steps(sched, eps_fn, x_t, key, t_from, t_to,
+                           clip_x0=clip_denoised)
+    x = jnp.clip(x, -1.0, 1.0) if clip_output else x
+    return (x, k_out) if return_key else x
 
 
 def renoise(sched: DiffusionSchedule, x_t: jnp.ndarray, t_now: int,

@@ -159,6 +159,13 @@ class SearchCfg:
     # (e.g. best-of-64 at T=3000) otherwise run one multi-minute XLA
     # program, which device watchdogs can kill. Must divide n_candidates.
     candidate_chunk: Optional[int] = None
+    # Random search: device launches the T-step ancestral chain is split
+    # into per chunk (1 = whole chain in one launch). One chunk*batch x
+    # T=1000 launch of a ch=128 256x256 UNet runs minutes of DEVICE time,
+    # which TPU-worker watchdogs kill mid-flight; segment launches chain
+    # bit-identically (the scan's carried PRNG key crosses launches).
+    # Requires diffusion.sampler=ddpm (fast samplers run few steps anyway).
+    launch_segments: int = 1
     n_neighbors: int = 4
     lambda_radius: float = 0.95
     n_iterations: int = 10

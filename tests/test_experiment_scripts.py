@@ -239,3 +239,32 @@ def test_restart_budget_wiring(tmp_path, monkeypatch):
     rb.main()
     rep2 = json.load(open(out))
     assert json.dumps(rep2["cells"], sort_keys=True) == before
+
+
+@pytest.mark.slow
+def test_flagship_inference_metrics_wiring(tiny_env, monkeypatch):
+    """flagship_inference_metrics.py is tpu_window-queued: prove on CPU
+    that the overrides flow into inference_metrics (extended inference_T,
+    clip_denoised, bf16 artifact load) and the tracked history comes back
+    finite and monotone in t before it spends chip time."""
+    import experiments.flagship_inference_metrics as fim
+
+    model, _ = ta.build_unet("tiny_smoke")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.zeros((1,), jnp.int32))
+    os.makedirs(ta.ARTIFACTS, exist_ok=True)
+    ta.save_bf16(os.path.join(ta.ARTIFACTS, "tiny_smoke"), params)
+    monkeypatch.setattr(fim, "REPO", str(tiny_env))
+    out = tiny_env / "docs" / "results" / "fim.json"
+    monkeypatch.setattr(sys, "argv", [
+        "fim.py", "--arch", "tiny_smoke", "--inference-t", "14",
+        "--interval", "5", "--batch", "2", "--num-real", "16",
+        "--out", str(out)])
+    fim.main()
+
+    rec = json.load(open(out))
+    assert rec["inference_T"] == 14
+    ts = [r["t"] for r in rec["history"]]
+    assert ts[-1] == 0 and ts == sorted(ts, reverse=True)
+    # extended-T chain with clip_denoised: every tracked metric finite
+    assert rec["all_tracked_is_finite"]
