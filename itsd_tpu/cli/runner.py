@@ -221,6 +221,21 @@ def run_sampler(cfg: Config, sched, eps_fn, x_T, key):
                   clip_denoised=cfg.diffusion.clip_denoised)
 
 
+def _validated_launch_segments(cfg: Config) -> int:
+    """diffusion.launch_segments, validated: segmentation splits the
+    ANCESTRAL chain, so it requires sampler=ddpm without restart_intervals
+    (the fast samplers already run few steps per launch)."""
+    seg_n = max(1, int(cfg.diffusion.launch_segments or 1))
+    if seg_n > 1 and (cfg.diffusion.sampler != "ddpm"
+                      or cfg.diffusion.restart_intervals):
+        raise ValueError(
+            "diffusion.launch_segments splits the ancestral T-step chain "
+            "across device launches; it requires diffusion.sampler=ddpm "
+            "without restart_intervals (the fast samplers already run "
+            "few steps per launch)")
+    return seg_n
+
+
 def _segmented_chain(cfg: Config, sched, eps_fn, seg_n: int):
     """Ancestral sampling as ``seg_n`` host-chained device launches.
 
@@ -623,6 +638,7 @@ def evaluate(cfg: Config, params=None) -> dict:
     else:
         eps_fn = make_eps_fn(model, params, False)
 
+    seg_n = _validated_launch_segments(cfg)
     smesh = _spatial_mesh(cfg, cfg.data.img_size)
     with seq_mesh_scope(smesh):
         x_T = _spatial_put(smesh, jax.random.normal(
@@ -634,7 +650,13 @@ def evaluate(cfg: Config, params=None) -> dict:
                         os.path.join(cfg.sampled_dir,
                                      cfg.sampled_noisy_img_name),
                         nrow=cfg.nrow)
-        imgs = run_sampler(cfg, sched, eps_fn, x_T, ks)
+        if seg_n > 1:
+            # bounded launches, bit-identical chain: one full-width
+            # (ch=128, 256x256) batch x T=1000 launch runs minutes of
+            # device time, which TPU-worker watchdogs kill
+            imgs = _segmented_chain(cfg, sched, eps_fn, seg_n)(x_T, ks)
+        else:
+            imgs = run_sampler(cfg, sched, eps_fn, x_T, ks)
     out_path = os.path.join(cfg.sampled_dir, cfg.sampled_img_name)
     save_image_grid(np.asarray(imgs), out_path, nrow=cfg.nrow)
     return {"images": np.asarray(imgs), "path": out_path}
@@ -968,19 +990,14 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
     # candidate sweep is one compiled computation (re-invoking the eager
     # path would re-trace the sampler scan every call).
     from ..search.algorithms import SearchResult, _nan_to_neg_inf
-    seg_n = max(1, int(s.launch_segments or 1))
+    seg_n = _validated_launch_segments(cfg)
     seg_chain = None
     if seg_n > 1:
         if s.algorithm != "random":
             raise ValueError(
-                "search.launch_segments is a random-search knob (the other "
-                "algorithms interleave scoring with the chain)")
-        if cfg.diffusion.sampler != "ddpm" or cfg.diffusion.restart_intervals:
-            raise ValueError(
-                "search.launch_segments splits the ancestral T-step chain "
-                "across device launches; it requires diffusion.sampler=ddpm "
-                "without restart_intervals (the fast samplers already run "
-                "few steps per launch)")
+                "diffusion.launch_segments applies to eval and random "
+                "search only (the other search algorithms interleave "
+                "scoring with the chain)")
         seg_chain = _segmented_chain(cfg, sched, eps_fn, seg_n)
     if s.algorithm == "random":
         if seg_chain is not None:

@@ -63,6 +63,14 @@ class DiffusionCfg:
     # base `sampler` family is selected (ddpm/ddim/dpm; not picard).
     # Empty = off. Third scaling axis; see core.sampling.restart_sample.
     restart_intervals: tuple = ()
+    # Device launches the T-step ancestral chain is split into (1 = whole
+    # chain in one launch). One batch x T=1000 launch of a ch=128 256x256
+    # UNet runs minutes of DEVICE time, which TPU-worker watchdogs kill
+    # mid-flight; segmented launches chain bit-identically (the scan's
+    # carried PRNG key crosses launches). Honored by `eval`'s sampler and
+    # by random search; requires sampler=ddpm without restart_intervals
+    # (fast samplers run few steps per launch anyway).
+    launch_segments: int = 1
 
 
 @dataclasses.dataclass
@@ -159,13 +167,6 @@ class SearchCfg:
     # (e.g. best-of-64 at T=3000) otherwise run one multi-minute XLA
     # program, which device watchdogs can kill. Must divide n_candidates.
     candidate_chunk: Optional[int] = None
-    # Random search: device launches the T-step ancestral chain is split
-    # into per chunk (1 = whole chain in one launch). One chunk*batch x
-    # T=1000 launch of a ch=128 256x256 UNet runs minutes of DEVICE time,
-    # which TPU-worker watchdogs kill mid-flight; segment launches chain
-    # bit-identically (the scan's carried PRNG key crosses launches).
-    # Requires diffusion.sampler=ddpm (fast samplers run few steps anyway).
-    launch_segments: int = 1
     n_neighbors: int = 4
     lambda_radius: float = 0.95
     n_iterations: int = 10
@@ -313,6 +314,9 @@ _LEGACY_MAP = {
     "sampled_images_save_dir": "sampled_dir",
     "fine_tune_epochs": "train.epoch",
     "fine_tune_time_embedding": "train.freeze_except_time_embedding",
+    # moved knobs (old dotted key -> new home); committed round-3/4
+    # measurement provenance and scripts still use the old spelling
+    "search.launch_segments": "diffusion.launch_segments",
 }
 
 # Reference keys with no TPU equivalent — accepted and dropped with a note
@@ -349,10 +353,18 @@ def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
     return cfg
 
 
-def _update_dataclass(obj: Any, data: dict, prefix: str = "") -> None:
+def _update_dataclass(obj: Any, data: dict, prefix: str = "",
+                      root: Any = None) -> None:
+    root = obj if root is None else root
     for k, v in data.items():
         if prefix == "" and k in _IGNORED_KEYS:
             _note_ignored(k)
+            continue
+        # moved knobs under a NESTED yaml section (e.g. `search:` ->
+        # `launch_segments:`) remap by their full dotted path, on the root
+        moved = _LEGACY_MAP.get(f"{prefix}{k}")
+        if prefix and moved:
+            _set_dotted(root, moved, coerce(v) if isinstance(v, str) else v)
             continue
         k = _LEGACY_MAP.get(k, k) if prefix == "" else k
         if "." in k:
@@ -362,7 +374,7 @@ def _update_dataclass(obj: Any, data: dict, prefix: str = "") -> None:
             raise KeyError(f"unknown config key: {prefix}{k!r}")
         cur = getattr(obj, k)
         if dataclasses.is_dataclass(cur) and isinstance(v, dict):
-            _update_dataclass(cur, v, prefix=f"{prefix}{k}.")
+            _update_dataclass(cur, v, prefix=f"{prefix}{k}.", root=root)
         else:
             v = coerce(v) if isinstance(v, str) else v
             if isinstance(cur, tuple) and isinstance(v, (list, tuple)):

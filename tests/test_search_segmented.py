@@ -1,4 +1,4 @@
-"""search.launch_segments: bounded-launch random search.
+"""diffusion.launch_segments: bounded-launch sampling (eval + random search).
 
 A chunk*batch x T=1000 launch of the ch=128 256x256 flagship runs minutes
 of device time and the TPU-worker watchdog kills the worker mid-flight
@@ -6,7 +6,9 @@ of device time and the TPU-worker watchdog kills the worker mid-flight
 splits the ancestral chain into host-chained launches; these tests pin the
 contract that the split is BIT-IDENTICAL to the single-launch program —
 the scan's carried PRNG key crosses launch boundaries
-(core.sampling.denoise_segment(return_key=True)).
+(core.sampling.denoise_segment(return_key=True)). The knob moved from
+search.launch_segments to diffusion.launch_segments when `eval` grew the
+same bounded-launch path; the old dotted key stays a config alias.
 """
 
 import jax
@@ -14,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from itsd_tpu.cli.runner import build_model, run_search
+from itsd_tpu.cli.runner import build_model, evaluate, run_search
 from itsd_tpu.core import denoise_segment, linear_schedule, sample
 from itsd_tpu.utils.config import load_config
 
@@ -58,7 +60,8 @@ def test_run_search_launch_segments_matches_single_launch(tmp_path):
     cfg1 = _cfg(sd)
     params = _params(cfg1)
     out1 = run_search(cfg1, params=params)
-    out3 = run_search(_cfg(["search.launch_segments=3"] + sd), params=params)
+    out3 = run_search(_cfg(["diffusion.launch_segments=3"] + sd),
+                      params=params)
     s1 = np.asarray(out1["result"].history["scores"])
     s3 = np.asarray(out3["result"].history["scores"])
     np.testing.assert_allclose(s1, s3, rtol=1e-6, atol=1e-7)
@@ -70,7 +73,7 @@ def test_run_search_launch_segments_matches_single_launch(tmp_path):
 
 
 def test_launch_segments_guard_baseline_rides_segments(tmp_path):
-    cfg = _cfg(["search.launch_segments=3", "search.guard_proxy=true",
+    cfg = _cfg(["diffusion.launch_segments=3", "search.guard_proxy=true",
                 "search.guard_num_real=8", "search.guard_baseline_draws=2",
                 f"sampled_dir={tmp_path}"])
     out = run_search(cfg, params=_params(cfg))
@@ -81,8 +84,45 @@ def test_launch_segments_guard_baseline_rides_segments(tmp_path):
 def test_launch_segments_rejects_fast_samplers_and_other_algorithms():
     params = _params(_cfg())
     with pytest.raises(ValueError, match="launch_segments"):
-        run_search(_cfg(["search.launch_segments=3",
+        run_search(_cfg(["diffusion.launch_segments=3",
                          "diffusion.sampler=ddim"]), params=params)
     with pytest.raises(ValueError, match="launch_segments"):
-        run_search(_cfg(["search.launch_segments=3",
+        run_search(_cfg(["diffusion.launch_segments=3",
                          "search.algorithm=zero_order"]), params=params)
+
+
+def test_legacy_search_key_is_an_alias():
+    """Committed round-4 provenance/scripts use search.launch_segments;
+    both the dotted-override and nested-YAML spellings must keep landing
+    on diffusion.launch_segments."""
+    cfg = _cfg(["search.launch_segments=5"])
+    assert cfg.diffusion.launch_segments == 5
+    import yaml
+
+    from itsd_tpu.utils.config import Config, _update_dataclass
+    cfg2 = Config()
+    _update_dataclass(cfg2, yaml.safe_load("search:\n  launch_segments: 7\n"))
+    assert cfg2.diffusion.launch_segments == 7
+
+
+def test_eval_launch_segments_matches_single_launch(tmp_path):
+    """`eval` rides the same bounded-launch chain: same seed, same chain
+    (the PRNG key crosses launch boundaries — exact-identity pinned by
+    test_chained_segments_bit_identical_to_sample); jit-fusion boundaries
+    differ between the one-launch and segmented programs, so the images
+    agree to float32 ulp only."""
+    sd1 = [f"sampled_dir={tmp_path}/a"]
+    sd3 = [f"sampled_dir={tmp_path}/b", "diffusion.launch_segments=3"]
+    cfg1 = _cfg(sd1)
+    params = _params(cfg1)
+    out1 = evaluate(cfg1, params=params)
+    out3 = evaluate(_cfg(sd3), params=params)
+    np.testing.assert_allclose(out1["images"], out3["images"],
+                               rtol=0, atol=1e-5)
+
+
+def test_eval_launch_segments_rejects_fast_samplers(tmp_path):
+    cfg = _cfg(["diffusion.launch_segments=3", "diffusion.sampler=dpm",
+                f"sampled_dir={tmp_path}"])
+    with pytest.raises(ValueError, match="launch_segments"):
+        evaluate(cfg, params=_params(cfg))
