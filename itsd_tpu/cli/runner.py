@@ -960,7 +960,8 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
     n_fold = eval_bs * {"random": chunk,
                         "zero_order": s.n_neighbors,
                         "path": s.n_paths,
-                        "pruned": s.n_candidates}.get(s.algorithm, 1)
+                        "pruned": s.n_candidates,
+                        "smc": s.n_candidates}.get(s.algorithm, 1)
     mesh = cand_sh = None
     if n_dev > 1 and n_fold % n_dev == 0:
         mesh = make_mesh(axis_names=("data",))
@@ -1117,6 +1118,39 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
              "prune_scores": [np.asarray(a) for a in psc],
              "prune_schedule": list(psched)},
             int(nfes))
+    elif s.algorithm == "smc":
+        from ..search import smc_search
+        rsteps = tuple(int(t) for t in s.smc_resample_steps)
+        segment = _cli_segment(cfg, sched, eps_fn)
+
+        @jax.jit
+        def _run(k):
+            r = smc_search(k, sched, eps_fn, verifier_fn, shape,
+                           n_particles=s.n_candidates,
+                           resample_steps=rsteps,
+                           lambda_temp=s.smc_lambda,
+                           ess_threshold=s.smc_ess_threshold,
+                           sharding=cand_sh,
+                           clip_denoised=cfg.diffusion.clip_denoised,
+                           segment=segment)
+            return (r.best_noise, r.best_score, r.best_images,
+                    r.history["final_scores"],
+                    tuple(r.history["resample_scores"]),
+                    r.history["ess"], r.history["resampled"], r.nfes)
+        bn, bs, bi, fsc, rsc, ess, resampled, nfes = _run(key)
+        # "scores" = the initial pool's first-checkpoint x0-hat scores, so
+        # best-vs-median analyses see every particle like the other
+        # algorithms (pre-resampling — later rounds mix lineages)
+        res = SearchResult(
+            bn, bs, bi,
+            {"scores": (rsc[0] if rsc else fsc), "final_scores": fsc,
+             "resample_scores": [np.asarray(a) for a in rsc],
+             "ess": np.asarray(ess), "resampled": np.asarray(resampled),
+             "resample_steps": list(rsteps)},
+            int(nfes))
+        print(f"[search] smc ess per resample point: "
+              f"{np.round(np.asarray(ess), 2).tolist()} "
+              f"(resampled: {np.asarray(resampled).tolist()})")
     elif s.algorithm == "gradient":
         init = jax.random.normal(jax.random.fold_in(key, 0), shape)
         # diffusion.sampler=dpm: differentiate through the solver chain
@@ -1158,7 +1192,7 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
         # matching baseline); gradient follows diffusion.sampler only when
         # it is dpm; random/zero-order denoise with the configured sampler.
         path_like_ancestral = (
-            s.algorithm in ("path", "pruned")
+            s.algorithm in ("path", "pruned", "smc")
             and cfg.diffusion.sampler not in ("ddim", "dpm"))
         if path_like_ancestral or (
                 s.algorithm == "gradient"

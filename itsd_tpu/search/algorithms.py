@@ -24,6 +24,12 @@ Four algorithms, matching the reference surface:
                        rematerialised sampler (the reference backprops
                        through all T steps with O(T) activation memory)
 
+Beyond the reference surface (the paper's NFE-allocation thesis, which its
+placeholder search couldn't express):
+  pruned_search      — successive halving over noise (top-k narrows)
+  smc_search         — Feynman–Kac steering: weighted particle population
+                       with ESS-gated systematic resampling
+
 NFE accounting is returned as metadata (the reference mutates a counter).
 """
 
@@ -427,6 +433,159 @@ def pruned_search(
                  "final_scores": final_scores,
                  "prune_schedule": sched_pairs},
         nfes=int(round(eval_units)),
+    )
+
+
+def smc_search_nfes(T: int, n_particles: int,
+                    resample_steps: Sequence[int], seg_cost=None) -> int:
+    """Static NFE accounting for `smc_search` (full-denoise units).
+    See `path_search_nfes` for the ``seg_cost`` caveat — the ancestral
+    default overstates NFE for fast-segment runs."""
+    if seg_cost is None:
+        seg_cost = lambda hi, lo: hi - lo
+    steps = sorted(set(int(s) for s in resample_steps), reverse=True)
+    t_prev, nfes = T, 0.0
+    for t_r in steps:
+        nfes += n_particles * (seg_cost(t_prev, t_r) + 1) / T
+        t_prev = t_r
+    nfes += n_particles * seg_cost(t_prev, 0) / T
+    return int(round(nfes))
+
+
+def _systematic_resample(key: jax.Array, log_w: jnp.ndarray) -> jnp.ndarray:
+    """Systematic (low-variance) resampling: ONE uniform draw stratifies the
+    whole population — each particle i is kept ``floor(N*w_i)`` or
+    ``ceil(N*w_i)`` times, never more variable than that. Static shapes,
+    on-device (`searchsorted` over the cumulative weights)."""
+    n = log_w.shape[0]
+    w = jax.nn.softmax(log_w)
+    positions = (jax.random.uniform(key, ()) + jnp.arange(n)) / n
+    idx = jnp.searchsorted(jnp.cumsum(w), positions)
+    return jnp.clip(idx, 0, n - 1)
+
+
+def smc_search(
+    key: jax.Array,
+    sched: DiffusionSchedule,
+    eps_fn: EpsFn,
+    verifier_fn: VerifierFn,
+    noise_shape: Tuple[int, ...],
+    n_particles: int = 16,
+    resample_steps: Sequence[int] = (700, 400, 150),
+    lambda_temp: float = 10.0,
+    ess_threshold: float = 0.5,
+    return_images: bool = True,
+    sharding=None,
+    clip_denoised: bool = False,
+    segment=None,
+    return_population: bool = False,
+) -> SearchResult:
+    """Sequential-Monte-Carlo steering over the denoising trajectory
+    (Feynman–Kac steering, Singhal et al. 2025) — a principled successor to
+    greedy `path_search`/`pruned_search`, beyond the reference's surface
+    (its search module is a placeholder, `search_algorithm.py:305-334`).
+
+    ``n_particles`` i.i.d. noises denoise *together* (particles folded into
+    the batch axis, sharded over the mesh like every other search). At each
+    static ``resample_steps`` point the predicted x0-hat is scored (one
+    extra model eval per particle) and the particle population carries
+    log-weights with **difference potentials**:
+
+        log w_i += lambda_temp * (score_i(t_k) - score_i(t_{k-1}))
+
+    which telescope to ``lambda_temp * score(final)`` — the target tilted
+    distribution ``p(x) * exp(lambda * verifier(x))``. When the effective
+    sample size drops below ``ess_threshold * N``, the population is
+    systematically resampled (low-variance, one uniform draw) and weights
+    reset; duplicated particles diverge again immediately because the
+    ancestral noise downstream is drawn per-row. Unlike top-k pruning this
+    keeps the population size constant and resamples *proportionally* —
+    weak particles die, strong ones multiply, and the temperature
+    ``lambda_temp`` interpolates from untilted sampling (0) to greedy
+    selection (→∞).
+
+    ESS gating is an on-device `where` (not `lax.cond`): both index sets
+    have static shape, so the whole search stays one fixed pipeline of scan
+    segments like `pruned_search`.
+    """
+    steps = sorted(set(int(s) for s in resample_steps), reverse=True)
+    if not steps:
+        raise ValueError("smc_search needs >=1 resample step — with none "
+                         "it degenerates to best-of-N (use random_search)")
+    assert all(0 < s < sched.T for s in steps)
+    n = int(n_particles)
+    noise_shape = tuple(noise_shape)
+    if segment is None:
+        segment = make_segment_denoiser(sched, eps_fn, "ddpm",
+                                        clip_denoised=clip_denoised)
+    seg_fn, seg_cost = segment
+
+    def shard(a):
+        return (jax.lax.with_sharding_constraint(a, sharding)
+                if sharding is not None else a)
+
+    per_particle = lambda a: a.reshape((n,) + noise_shape)
+
+    k0, key = jax.random.split(key)
+    x = jax.random.normal(k0, (n,) + noise_shape)
+    x = shard(x.reshape((-1,) + noise_shape[1:]))
+    log_w = jnp.zeros((n,))
+    prev_score = jnp.zeros((n,))
+
+    score_log, ess_log, resampled_log = [], [], []
+    t_prev = sched.T
+    nfes = 0.0
+    for t_r in steps:
+        kd, kr, key = jax.random.split(key, 3)
+        x = seg_fn(x, kd, t_prev, t_r)
+        nfes += n * seg_cost(t_prev, t_r) / sched.T
+        tb = jnp.full((x.shape[0],), t_r - 1, dtype=jnp.int32)
+        eps = eps_fn(x, tb)
+        x0_hat = jnp.clip(predict_x0_from_eps(sched, x, tb, eps), -1, 1)
+        scores = _nan_to_neg_inf(jax.vmap(verifier_fn)(per_particle(x0_hat)))
+        nfes += n / sched.T
+        score_log.append(scores)
+        # difference potential; a -inf (NaN-masked) score zeroes the weight
+        log_w = log_w + lambda_temp * (scores - prev_score)
+        finite = jnp.isfinite(log_w)
+        log_w = jnp.where(finite, log_w, -jnp.inf)
+        # every particle NaN'd out -> no signal: keep uniform weights
+        # rather than a NaN softmax/ESS
+        log_w = jnp.where(jnp.any(finite), log_w, jnp.zeros_like(log_w))
+        w = jax.nn.softmax(log_w)
+        ess = 1.0 / jnp.sum(w * w)
+        ess_log.append(ess)
+        do_resample = ess < ess_threshold * n
+        resampled_log.append(do_resample)
+        idx = jnp.where(do_resample,
+                        _systematic_resample(kr, log_w), jnp.arange(n))
+        x = shard(per_particle(x)[idx].reshape((-1,) + noise_shape[1:]))
+        prev_score = scores[idx]
+        log_w = jnp.where(do_resample, jnp.zeros_like(log_w), log_w[idx])
+        t_prev = t_r
+
+    kf, _ = jax.random.split(key)
+    x = seg_fn(x, kf, t_prev, 0, clip_output=True)
+    nfes += n * seg_cost(t_prev, 0) / sched.T
+    finals = per_particle(x)
+    final_scores = jax.vmap(verifier_fn)(finals)
+    best = jnp.argmax(_nan_to_neg_inf(final_scores))
+    return SearchResult(
+        best_noise=finals[best],  # final sample of the winning particle
+        best_score=final_scores[best],
+        best_images=finals[best] if return_images else None,
+        history={"scores": (score_log[0] if score_log else final_scores),
+                 "resample_scores": score_log,
+                 "final_scores": final_scores,
+                 "ess": jnp.stack(ess_log) if ess_log else None,
+                 "resampled": (jnp.stack(resampled_log)
+                               if resampled_log else None),
+                 "resample_steps": steps,
+                 # the steered POPULATION [N, B, ...] — SMC's product is
+                 # every particle, not just the argmax (population-level
+                 # quality/diversity is the steering-vs-hacking metric)
+                 **({"finals": finals} if return_population else {})},
+        nfes=int(round(nfes)),
     )
 
 

@@ -159,7 +159,7 @@ class DataCfg:
 
 @dataclasses.dataclass
 class SearchCfg:
-    algorithm: str = "random"     # random|zero_order|path|pruned|gradient
+    algorithm: str = "random"  # random|zero_order|path|pruned|smc|gradient
     verifier: str = "oracle"            # oracle|self_supervised|aesthetic|classifier|ensemble
     n_candidates: int = 4
     # Random search: candidates evaluated per device launch (None = all at
@@ -179,6 +179,15 @@ class SearchCfg:
     # together, score x0-hat at each t and keep the top `keep`
     # (successive halving over noise; `[[500,4]]` on the CLI)
     prune_schedule: Tuple = ((500, 4),)
+    # algorithm=smc (Feynman-Kac steering): n_candidates particles carry
+    # log-weights lambda * (score_t - score_prev) on the x0-hat verifier
+    # score at each smc_resample_steps point, and are systematically
+    # resampled (weak die, strong multiply — population size constant) when
+    # the effective sample size drops below smc_ess_threshold * N.
+    # lambda 0 = untilted ancestral sampling, ->inf = greedy selection.
+    smc_resample_steps: Tuple[int, ...] = (700, 400, 150)
+    smc_lambda: float = 10.0
+    smc_ess_threshold: float = 0.5
     gradient_lr: float = 0.01
     # verifier=classifier: weights-only checkpoint of a SmallCNN (path
     # relative to save_weight_dir, or absolute); architecture is inferred
