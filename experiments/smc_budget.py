@@ -52,6 +52,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=20)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--lambdas", type=str, default=None,
+                    help="comma-separated lambda_temp arms to (incrementally)"
+                         " add to the result file, e.g. '0.05,0.2,0.5'; "
+                         "default is the original 0,2,10 sweep. Existing "
+                         "arms in the file are kept and skipped per-seed.")
     ap.add_argument("--T", type=int, default=None,
                     help="SMOKE ONLY: shorten the chain for a CPU pipeline "
                          "validation (mismatched with the trained schedule "
@@ -97,8 +102,11 @@ def main():
     nfe = smc_search_nfes(sched.T, N_PARTICLES, rsteps)
     note(f"smc NFE = {nfe} full-denoise units (best-of-16 = 16)")
 
+    run_lambdas = (tuple(float(x) for x in args.lambdas.split(","))
+                   if args.lambdas else LAMBDAS)
+
     runners = {}
-    for lam in LAMBDAS:
+    for lam in run_lambdas:
         def _run(k, lam=lam):
             r = smc_search(k, sched, eps_fn, verifier, shape,
                            n_particles=N_PARTICLES, resample_steps=rsteps,
@@ -115,17 +123,20 @@ def main():
         else ("smc_budget.json" if backend == "tpu"
               else f"smc_budget_{backend}.json"))
 
-    # Per-seed resumable: a relay flap keeps every finished seed.
-    rows = {str(lam): [] for lam in LAMBDAS}
+    # Per-seed AND per-arm resumable: a relay flap keeps every finished
+    # seed, and a later --lambdas run adds arms without re-running old ones.
+    rows = {}
     if os.path.isfile(path):
         with open(path) as f:
             prev = json.load(f)
         if prev.get("seeds_done", 0) and prev.get("backend") == backend:
             rows = prev["per_seed"]
-            note(f"resuming at seed {prev['seeds_done']} from {path}")
+            note(f"resuming from {path} (arms: {sorted(rows)})")
+    for lam in run_lambdas:
+        rows.setdefault(str(lam), [])
 
     def seeds_done():
-        return min(len(v) for v in rows.values())
+        return min(len(rows[str(lam)]) for lam in run_lambdas)
 
     def save(complete):
         summary = {
@@ -143,10 +154,11 @@ def main():
             "per_seed": rows,
         }
         summary["arms"] = {}
-        for lam in LAMBDAS:
-            rs = rows[str(lam)]
+        for key in sorted(rows, key=float):
+            rs = rows[key]
             if not rs:
                 continue
+            lam = key
             summary["arms"][str(lam)] = {
                 "E_best": float(np.mean([r["best"] for r in rs])),
                 "E_population_mean": float(np.mean([r["mean"] for r in rs])),
@@ -161,9 +173,11 @@ def main():
         return summary
 
     t0 = time.time()
-    for s in range(seeds_done(), args.seeds):
+    for s in range(args.seeds):
         k = jax.random.PRNGKey(2000 + s)  # same key -> same initial noises
-        for lam in LAMBDAS:
+        for lam in run_lambdas:
+            if len(rows[str(lam)]) > s:
+                continue  # this (seed, arm) already measured
             fs, finals, ess, resampled = runners[lam](k)
             fs = np.asarray(fs, np.float64)
             pop = jnp.reshape(finals, (-1,) + finals.shape[2:])
@@ -176,9 +190,9 @@ def main():
             })
         save(complete=False)
         note(f"seed {s}: " + " | ".join(
-            f"lam={lam}: best {rows[str(lam)][-1]['best']:.3f} "
-            f"mean {rows[str(lam)][-1]['mean']:.3f}"
-            for lam in LAMBDAS) + f" ({time.time()-t0:.0f}s)")
+            f"lam={lam}: best {rows[str(lam)][s]['best']:.3f} "
+            f"mean {rows[str(lam)][s]['mean']:.3f}"
+            for lam in run_lambdas) + f" ({time.time()-t0:.0f}s)")
     summary = save(complete=True)
     note(json.dumps(summary["arms"], indent=1))
     note(f"-> {path}")

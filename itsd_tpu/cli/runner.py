@@ -1130,6 +1130,7 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
                            resample_steps=rsteps,
                            lambda_temp=s.smc_lambda,
                            ess_threshold=s.smc_ess_threshold,
+                           lambda_scale=s.smc_lambda_scale,
                            sharding=cand_sh,
                            clip_denoised=cfg.diffusion.clip_denoised,
                            segment=segment)

@@ -479,6 +479,7 @@ def smc_search(
     clip_denoised: bool = False,
     segment=None,
     return_population: bool = False,
+    lambda_scale: str = "absolute",
 ) -> SearchResult:
     """Sequential-Monte-Carlo steering over the denoising trajectory
     (Feynman–Kac steering, Singhal et al. 2025) — a principled successor to
@@ -507,7 +508,22 @@ def smc_search(
     ESS gating is an on-device `where` (not `lax.cond`): both index sets
     have static shape, so the whole search stays one fixed pipeline of scan
     segments like `pruned_search`.
+
+    ``lambda_scale`` addresses the measured failure mode of absolute
+    temperatures (docs/results/smc_budget.json: with classifier scores
+    spanning ~40 nats, even lambda=2 makes the checkpoint softmax one-hot
+    — ESS→1, full population collapse). With ``"spread"`` each
+    checkpoint's difference potential is divided by the population
+    standard deviation of the increments, so ``lambda_temp`` is
+    *dimensionless selection pressure* (weights = softmax of
+    lambda·z-scores) and transfers across verifiers unchanged. The
+    telescoping identity to ``exp(lambda·score(final))`` no longer holds
+    exactly — spread mode is adaptive-temperature annealing toward the
+    verifier, traded for scale-freeness.
     """
+    if lambda_scale not in ("absolute", "spread"):
+        raise ValueError(f"lambda_scale must be 'absolute' or 'spread', "
+                         f"got {lambda_scale!r}")
     steps = sorted(set(int(s) for s in resample_steps), reverse=True)
     if not steps:
         raise ValueError("smc_search needs >=1 resample step — with none "
@@ -546,7 +562,18 @@ def smc_search(
         nfes += n / sched.T
         score_log.append(scores)
         # difference potential; a -inf (NaN-masked) score zeroes the weight
-        log_w = log_w + lambda_temp * (scores - prev_score)
+        d = scores - prev_score
+        if lambda_scale == "spread":
+            # z-score the increments over the FINITE population so the
+            # temperature is dimensionless; -inf stays -inf through the
+            # division, and a degenerate all-equal population divides by
+            # ~eps only in the numerator-0 case (weights stay uniform).
+            fin = jnp.isfinite(d)
+            cnt = jnp.maximum(jnp.sum(fin), 1)
+            mu = jnp.sum(jnp.where(fin, d, 0.0)) / cnt
+            sd = jnp.sqrt(jnp.sum(jnp.where(fin, (d - mu) ** 2, 0.0)) / cnt)
+            d = d / (sd + 1e-6)
+        log_w = log_w + lambda_temp * d
         finite = jnp.isfinite(log_w)
         log_w = jnp.where(finite, log_w, -jnp.inf)
         # every particle NaN'd out -> no signal: keep uniform weights

@@ -188,6 +188,13 @@ class SearchCfg:
     smc_resample_steps: Tuple[int, ...] = (700, 400, 150)
     smc_lambda: float = 10.0
     smc_ess_threshold: float = 0.5
+    # "absolute": log-weights lambda*(score_t - score_prev) — the exact
+    # Feynman-Kac tilt exp(lambda*score), but lambda rides the verifier's
+    # score scale (measured: lambda>=2 fully collapses a classifier-scored
+    # population, docs/results/smc_budget.json). "spread": increments are
+    # z-scored over the population first, so lambda is dimensionless
+    # selection pressure transferring across verifiers.
+    smc_lambda_scale: str = "absolute"  # absolute|spread
     gradient_lr: float = 0.01
     # verifier=classifier: weights-only checkpoint of a SmallCNN (path
     # relative to save_weight_dir, or absolute); architecture is inferred

@@ -163,3 +163,49 @@ def test_cli_run_search_smc_dpm_segments(tmp_path):
     assert np.isfinite(float(out["result"].best_score))
     # fast segments: NFE must reflect actual model evals, not ancestral T
     assert out["result"].nfes < smc_search_nfes(8, 4, (4,))
+
+
+def test_spread_mode_is_verifier_scale_free(key):
+    # the measured failure of absolute temperatures (smc_budget.json:
+    # ESS->1 at lambda>=2 on ~40-nat classifier scores): in spread mode
+    # the increments are z-scored, so scaling the verifier by 1000x must
+    # not change a single resampling decision or the final population
+    kw = dict(n_particles=8, resample_steps=(7, 4), lambda_temp=1.5,
+              ess_threshold=0.7, lambda_scale="spread")
+    a = smc_search(key, SCHED, EPS, _verifier, SHAPE, **kw)
+    b = smc_search(key, SCHED, EPS, lambda im: 1000.0 * _verifier(im),
+                   SHAPE, **kw)
+    np.testing.assert_array_equal(np.asarray(a.history["resampled"]),
+                                  np.asarray(b.history["resampled"]))
+    # f32: the x1000 scale perturbs the z-scores in the last few ulps
+    np.testing.assert_allclose(np.asarray(a.history["ess"]),
+                               np.asarray(b.history["ess"]),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(a.history["final_scores"]),
+                               np.asarray(b.history["final_scores"]) / 1000.0,
+                               rtol=1e-3)
+    # while ABSOLUTE mode at the same lambda flips from never-resampling
+    # to always-resampling under the x1000 scale change
+    kw_abs = dict(kw, lambda_scale="absolute")
+    a_abs = smc_search(key, SCHED, EPS, _verifier, SHAPE, **kw_abs)
+    b_abs = smc_search(key, SCHED, EPS, lambda im: 1000.0 * _verifier(im),
+                       SHAPE, **kw_abs)
+    assert (np.asarray(a_abs.history["resampled"]).tolist()
+            != np.asarray(b_abs.history["resampled"]).tolist())
+
+
+def test_spread_mode_constant_verifier_stays_uniform(key):
+    # zero spread -> z-scores are 0/eps = 0 -> weights stay uniform and
+    # the ESS gate never fires, at ANY lambda
+    res = smc_search(key, SCHED, EPS, lambda im: jnp.asarray(7.0), SHAPE,
+                     n_particles=8, resample_steps=(7, 4),
+                     lambda_temp=1e6, ess_threshold=0.99,
+                     lambda_scale="spread")
+    assert not np.asarray(res.history["resampled"]).any()
+    assert np.allclose(np.asarray(res.history["ess"]), 8.0)
+
+
+def test_bad_lambda_scale_rejected(key):
+    with pytest.raises(ValueError, match="lambda_scale"):
+        smc_search(key, SCHED, EPS, _verifier, SHAPE, n_particles=4,
+                   resample_steps=(7,), lambda_scale="bogus")
