@@ -57,6 +57,12 @@ def main():
                          " add to the result file, e.g. '0.05,0.2,0.5'; "
                          "default is the original 0,2,10 sweep. Existing "
                          "arms in the file are kept and skipped per-seed.")
+    ap.add_argument("--scale", choices=("absolute", "spread"),
+                    default="absolute",
+                    help="lambda_scale passed to smc_search; 'spread' "
+                         "writes to smc_budget_spread.json (same schema) "
+                         "so dimensionless-lambda arms sit beside the "
+                         "absolute sweep")
     ap.add_argument("--T", type=int, default=None,
                     help="SMOKE ONLY: shorten the chain for a CPU pipeline "
                          "validation (mismatched with the trained schedule "
@@ -111,17 +117,19 @@ def main():
             r = smc_search(k, sched, eps_fn, verifier, shape,
                            n_particles=N_PARTICLES, resample_steps=rsteps,
                            lambda_temp=lam, ess_threshold=0.5,
+                           lambda_scale=args.scale,
                            return_images=False, return_population=True)
             h = r.history
             return (h["final_scores"], h["finals"], h["ess"], h["resampled"])
         runners[lam] = jax.jit(_run)
 
     backend = jax.default_backend()
+    stem = "smc_budget" if args.scale == "absolute" else "smc_budget_spread"
     path = os.path.join(
         RESULTS,
-        "smc_budget_smoke.json" if args.T
-        else ("smc_budget.json" if backend == "tpu"
-              else f"smc_budget_{backend}.json"))
+        f"{stem}_smoke.json" if args.T
+        else (f"{stem}.json" if backend == "tpu"
+              else f"{stem}_{backend}.json"))
 
     # Per-seed AND per-arm resumable: a relay flap keeps every finished
     # seed, and a later --lambdas run adds arms without re-running old ones.
@@ -147,6 +155,7 @@ def main():
                          f"{N_PARTICLES} particles, resample@{list(rsteps)},"
                          " ess_threshold=0.5"),
             "backend": backend,
+            "lambda_scale": args.scale,
             "nfe": {"smc": nfe, "bestof16": N_PARTICLES},
             "complete": complete,
             "seeds_done": seeds_done(),
