@@ -83,8 +83,8 @@ def main():
     b = absolute["baseline"]
     ax_s.axhline(b["E_best"], color=BLUE, lw=1, ls=":", zorder=2)
     ax_s.axhline(b["E_population_mean"], color=ORANGE, lw=1, ls=":", zorder=2)
-    ax_s.text(0.99, 0.30, "dotted: independent best-of-16 (λ=0)",
-              transform=ax_s.transAxes, ha="right", fontsize=7.5,
+    ax_s.text(0.02, 0.50, "dotted: independent\nbest-of-16 (λ=0)",
+              transform=ax_s.transAxes, ha="left", fontsize=7.5,
               color=MUTED)
     ax_s.set_ylabel("verifier score", fontsize=9, color=INK)
     ax_s.legend(fontsize=7.5, frameon=False, loc="lower right", ncol=1)
