@@ -1,0 +1,208 @@
+"""Interval-restricted CFG measured on the trained conditional artifact.
+
+`diffusion.cfg_interval=[lo,hi]` (Kynkaanniemi et al. 2024) runs the
+dual-batched guidance forward only for lo <= t < hi; outside, ONE
+conditional forward under `lax.cond`. Two claims to measure, not assert:
+
+  1. quality: where in the chain does guidance actually pay? Arms at the
+     same w compare full-range vs low-t / mid / high-t halves on
+     class-control accuracy (independent classifier) + population
+     FID-proxy vs held-out real features.
+  2. cost: the untaken cond branch must be genuinely free — wall-clock
+     per chain should track cfg_nfes (1500 evals for a half-interval vs
+     2000 full), not stay at dual-batch cost.
+
+Artifact: shapes64_cond (T=1000, EMA) + classifier_shapes64, both
+committed. Resumable per (arm, seed); 3 seeds x B=60 (6 per class).
+
+Usage: python experiments/cfg_interval.py [--seeds 3]
+Writes: docs/results/cfg_interval.json (+ _smoke / _<backend> variants)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RESULTS = os.path.join(REPO, "docs", "results")
+ARTIFACTS = os.path.join(REPO, "artifacts")
+W = 1.8
+
+
+def note(m):
+    print(f"[cfg_interval] {m}", file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--per-class", type=int, default=6)
+    ap.add_argument("--T", type=int, default=None,
+                    help="SMOKE ONLY: shorten the chain (mismatched with "
+                         "the trained schedule -> quality numbers are "
+                         "meaningless; pipeline validation only)")
+    args = ap.parse_args()
+
+    from itsd_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    import experiments.train_artifacts as ta
+    from itsd_tpu.core import (cfg_nfes, linear_schedule, make_cfg_eps_fn,
+                               sample)
+    from itsd_tpu.data import shapes_dataset
+    from itsd_tpu.metrics import frechet_distance, gaussian_stats
+    from itsd_tpu.models import UNet, cond_unet_config
+    from itsd_tpu.models.classifier import load_classifier
+    from itsd_tpu.search.verifiers import adaptive_avg_pool
+    from itsd_tpu.train.checkpoint import restore_params
+    from itsd_tpu.utils.images import save_image_grid
+
+    a = ta.ARCHS["shapes64_cond"]
+    T = args.T or ta.TRAIN_T
+    sched = linear_schedule(1e-4, 0.02, T)
+    ccfg = cond_unet_config(
+        num_labels=a["num_labels"], ch=a["ch"], ch_mult=tuple(a["ch_mult"]),
+        num_res_blocks=a["num_res_blocks"], dropout=a["dropout"], T=T,
+        dtype="bfloat16")
+    model = UNet(ccfg)
+    if args.T:
+        # SMOKE: the artifact's table time-embedding bakes T=1000; a
+        # shortened chain can't load it. Random init — pipeline check only.
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, 64, 64, 3)),
+                            jnp.zeros((2,), jnp.int32),
+                            jnp.zeros((2,), jnp.int32))
+    else:
+        params = restore_params(os.path.join(ARTIFACTS, "shapes64_cond"))
+        params = jax.tree.map(
+            lambda p: jnp.asarray(p, jnp.float32)
+            if getattr(p, "dtype", None) == jnp.bfloat16 else jnp.asarray(p),
+            params)
+    logit_fn, _, _ = load_classifier(
+        os.path.join(ARTIFACTS, "classifier_shapes64"))
+
+    images, _ = shapes_dataset(n=2048, img_size=64, num_labels=10, seed=0)
+    hold = (np.asarray(images[-512:]) + 1.0) / 2.0
+    mu_r, sig_r = gaussian_stats(np.asarray(
+        adaptive_avg_pool(jnp.asarray(hold), 8).reshape(len(hold), -1)))
+
+    req = np.repeat(np.arange(10), args.per_class)
+    lab_plus1 = jnp.asarray(req + 1, jnp.int32)
+    B = len(req)
+    model_eps = lambda xx, tt, ll: model.apply(params, xx, tt, ll)
+
+    def iv(lo_frac, hi_frac):
+        return (int(lo_frac * T), int(hi_frac * T))
+
+    ARMS = [
+        ("uncond_w0", 0.0, None),
+        ("full", W, None),
+        ("low_t_half", W, iv(0.0, 0.5)),
+        ("mid_half", W, iv(0.25, 0.75)),
+        ("high_t_half", W, iv(0.5, 1.0)),
+    ]
+
+    runners = {}
+    for name, w, interval in ARMS:
+        eps_fn = make_cfg_eps_fn(model_eps, lab_plus1, w, interval=interval)
+        runners[name] = jax.jit(
+            lambda noise, k, _e=eps_fn: jnp.clip(
+                sample(sched, _e, noise, k), -1.0, 1.0))
+
+    backend = jax.default_backend()
+    path = os.path.join(
+        RESULTS,
+        "cfg_interval_smoke.json" if args.T
+        else ("cfg_interval.json" if backend == "tpu"
+              else f"cfg_interval_{backend}.json"))
+
+    rows = {name: [] for name, _, _ in ARMS}
+    if os.path.isfile(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev.get("backend") == backend:
+            for k, v in prev.get("per_seed", {}).items():
+                rows.setdefault(k, []).extend(
+                    x for x in v if x not in rows.get(k, []))
+            note(f"resuming from {path}")
+
+    t0 = time.time()
+
+    def save(complete):
+        summary = {
+            "workload": (f"interval-restricted CFG on trained shapes64_cond"
+                         f" (T={T} ancestral, w={W}, {B} samples/arm, "
+                         f"{args.seeds} seeds); arms guide full chain vs "
+                         "low-t/mid/high-t halves"),
+            "backend": backend,
+            "complete": complete,
+            "wall_s": round(time.time() - t0, 1),
+            "per_seed": rows,
+            "arms": {},
+        }
+        for name, w, interval in ARMS:
+            rs = rows[name]
+            if not rs:
+                continue
+            summary["arms"][name] = {
+                "w": w,
+                "interval": list(interval) if interval else None,
+                "model_evals_per_image": (cfg_nfes(T, interval) if w else T),
+                "class_control_acc": float(np.mean(
+                    [r["acc"] for r in rs])),
+                "fid_proxy": float(np.mean([r["fid_proxy"] for r in rs])),
+                "wall_s_per_chain": float(np.mean(
+                    [r["wall_s"] for r in rs[1:]] or
+                    [rs[0]["wall_s"]])),  # drop seed-0 compile wall
+            }
+        with open(path, "w") as f:
+            json.dump(summary, f, indent=1)
+        return summary
+
+    for s in range(args.seeds):
+        for name, w, interval in ARMS:
+            if len(rows[name]) > s:
+                continue
+            noise = jax.random.normal(jax.random.PRNGKey(100 + s),
+                                      (B, 64, 64, 3))
+            tw = time.time()
+            imgs = runners[name](noise, jax.random.PRNGKey(200 + s))
+            jax.block_until_ready(imgs)
+            wall = time.time() - tw
+            unit = (np.asarray(imgs, np.float32) + 1.0) / 2.0
+            pred = np.asarray(jnp.argmax(logit_fn(jnp.asarray(unit)), -1))
+            mu_f, sig_f = gaussian_stats(np.asarray(
+                adaptive_avg_pool(jnp.asarray(unit), 8).reshape(B, -1)))
+            rows[name].append({
+                "acc": float((pred == req).mean()),
+                "fid_proxy": float(frechet_distance(mu_r, sig_r,
+                                                    mu_f, sig_f)),
+                "wall_s": round(wall, 2),
+            })
+            if s == 0 and not args.T:
+                save_image_grid(np.asarray(imgs),
+                                os.path.join(RESULTS,
+                                             f"cfg_interval_{name}.png"),
+                                nrow=args.per_class)
+            save(complete=False)
+            note(f"seed {s} {name}: acc {rows[name][-1]['acc']:.3f} "
+                 f"fid {rows[name][-1]['fid_proxy']:.2f} "
+                 f"wall {wall:.1f}s")
+    summary = save(complete=True)
+    note(json.dumps(summary["arms"], indent=1))
+    note(f"-> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -271,14 +271,17 @@ def _segmented_chain(cfg: Config, sched, eps_fn, seg_n: int):
 
 
 def make_eps_fn(model, params, conditional: bool, labels=None,
-                w: float = 0.0):
+                w: float = 0.0, cfg_interval=None):
     """eps_fn(x, t) for the sampler: plain for unconditional, dual-batched
-    CFG mix for conditional (`DiffusionCondition.py:79-87` semantics)."""
+    CFG mix for conditional (`DiffusionCondition.py:79-87` semantics).
+    ``cfg_interval=(lo, hi)`` restricts guidance to that timestep range
+    (single conditional forward outside it — core.process.make_cfg_eps_fn)."""
     if not conditional:
         return lambda x, t: model.apply(params, x, t)
     assert labels is not None
     return make_cfg_eps_fn(
-        lambda x, t, lab: model.apply(params, x, t, lab), labels, w)
+        lambda x, t, lab: model.apply(params, x, t, lab), labels, w,
+        interval=cfg_interval)
 
 
 # ---------------------------------------------------------------------------
@@ -604,7 +607,8 @@ def _sample_grid_during_training(cfg, model, state, conditional, epoch, key):
     kx, ks = jax.random.split(jax.random.fold_in(key, epoch))
     if conditional:
         labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
-        eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
+        eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w,
+                             cfg_interval=cfg.diffusion.cfg_interval)
     else:
         eps_fn = make_eps_fn(model, params, False)
     smesh = _spatial_mesh(cfg, cfg.data.img_size)
@@ -634,7 +638,8 @@ def evaluate(cfg: Config, params=None) -> dict:
     kx, ks = jax.random.split(key)
     if conditional:
         labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
-        eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
+        eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w,
+                             cfg_interval=cfg.diffusion.cfg_interval)
     else:
         eps_fn = make_eps_fn(model, params, False)
 
@@ -713,7 +718,8 @@ def sample_with_metrics(cfg: Config, params, feature_fn=None,
     kx, ks = jax.random.split(key)
     if conditional:
         labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
-        eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
+        eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w,
+                             cfg_interval=cfg.diffusion.cfg_interval)
     else:
         eps_fn = make_eps_fn(model, params, False)
 
@@ -972,7 +978,8 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
 
     if conditional:
         labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
-        eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w)
+        eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w,
+                             cfg_interval=cfg.diffusion.cfg_interval)
     else:
         eps_fn = make_eps_fn(model, params, False)
     # Random and zero-order search denoise candidates with the configured

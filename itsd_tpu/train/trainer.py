@@ -63,7 +63,7 @@ class Trainer:
                 labels = (jnp.arange(n) % cfg.model.num_labels) + 1
             eps_fn = self._runner.make_eps_fn(
                 self.model, self.params, True, jnp.asarray(labels),
-                cfg.diffusion.w)
+                cfg.diffusion.w, cfg_interval=cfg.diffusion.cfg_interval)
         else:
             eps_fn = self._runner.make_eps_fn(self.model, self.params, False)
         # dispatch through run_sampler so cfg.diffusion.sampler

@@ -58,6 +58,12 @@ class DiffusionCfg:
     # the chain on long extrapolative-CFG runs (T=3000, w=1.8), where the
     # unclipped state can grow without bound (core/process.p_sample_step)
     clip_denoised: bool = False
+    # restrict classifier-free guidance to timesteps lo <= t < hi
+    # (Kynkaanniemi et al. 2024): outside the interval each step runs ONE
+    # conditional forward instead of the dual-batched pair — a quality
+    # knob AND an NFE saving (core.process.cfg_nfes). None/() = guide the
+    # whole chain (the reference's behavior).
+    cfg_interval: Optional[Tuple[int, int]] = None
     # restart sampling (Xu et al. 2023): ((t_max, t_min, k), ...) —
     # re-noise + re-denoise each interval k extra times, riding whatever
     # base `sampler` family is selected (ddpm/ddim/dpm; not picard).

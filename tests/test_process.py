@@ -112,3 +112,60 @@ def test_predict_x0_roundtrip(key):
     x0_hat = predict_x0_from_eps(SCHED, xt, t, noise)
     np.testing.assert_allclose(np.asarray(x0_hat), np.asarray(x0),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_cfg_interval_guides_only_inside(key):
+    """Interval-restricted CFG (Kynkaanniemi et al. 2024): inside
+    [lo, hi) the step equals the full dual-batched mix; outside it equals
+    ONE conditional forward (the w->0 limit); (0, T) is plain CFG."""
+    W = jax.random.normal(key, (3, 3))
+
+    def model(x, t, labels):
+        return x @ W + labels[:, None, None, None].astype(jnp.float32)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 2, 3))
+    labels = jnp.array([1, 2, 3, 4])
+    w = 1.8
+    plain = make_cfg_eps_fn(model, labels, w)
+    gated = make_cfg_eps_fn(model, labels, w, interval=(100, 700))
+    full = make_cfg_eps_fn(model, labels, w, interval=(0, 1000))
+    for tv in (100, 400, 699):  # inside
+        t = jnp.full((4,), tv, jnp.int32)
+        np.testing.assert_allclose(np.asarray(gated(x, t)),
+                                   np.asarray(plain(x, t)), rtol=1e-5)
+    for tv in (0, 99, 700, 999):  # outside -> conditional forward only
+        t = jnp.full((4,), tv, jnp.int32)
+        np.testing.assert_allclose(np.asarray(gated(x, t)),
+                                   np.asarray(model(x, t, labels)),
+                                   rtol=1e-5)
+    for tv in (0, 500, 999):
+        t = jnp.full((4,), tv, jnp.int32)
+        np.testing.assert_allclose(np.asarray(full(x, t)),
+                                   np.asarray(plain(x, t)), rtol=1e-5)
+
+
+def test_cfg_interval_samples_under_scan(key):
+    """The lax.cond gate must trace inside the jitted lax.scan sampler
+    (traced batch-constant t) and produce finite samples."""
+    from itsd_tpu.core import linear_schedule, sample
+
+    W = 0.05 * jax.random.normal(key, (3, 3))
+
+    def model(x, t, labels):
+        return x @ W + 0.01 * labels[:, None, None, None].astype(jnp.float32)
+
+    sched = linear_schedule(1e-4, 0.02, 10)
+    eps_fn = make_cfg_eps_fn(model, jnp.array([1, 2]), 1.8, interval=(3, 8))
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 2, 3))
+    out = jax.jit(lambda k: sample(sched, eps_fn, x_T, k))(
+        jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cfg_nfes_accounting():
+    from itsd_tpu.core import cfg_nfes
+    assert cfg_nfes(1000) == 2000
+    assert cfg_nfes(1000, (0, 1000)) == 2000
+    assert cfg_nfes(1000, (200, 800)) == 1600
+    assert cfg_nfes(1000, (800, 3000)) == 1200  # clamped to [0, T)
+    assert cfg_nfes(1000, (500, 500)) == 1000   # empty interval = no CFG
