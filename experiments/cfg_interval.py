@@ -58,27 +58,20 @@ def main():
     import jax.numpy as jnp
 
     import experiments.train_artifacts as ta
-    from itsd_tpu.core import (cfg_nfes, linear_schedule, make_cfg_eps_fn,
-                               sample)
+    from itsd_tpu.core import cfg_nfes, linear_schedule, make_cfg_eps_fn
     from itsd_tpu.data import shapes_dataset
     from itsd_tpu.metrics import frechet_distance, gaussian_stats
-    from itsd_tpu.models import UNet, cond_unet_config
     from itsd_tpu.models.classifier import load_classifier
     from itsd_tpu.search.verifiers import adaptive_avg_pool
     from itsd_tpu.train.checkpoint import restore_params
     from itsd_tpu.utils.images import save_image_grid
 
-    a = ta.ARCHS["shapes64_cond"]
     T = args.T or ta.TRAIN_T
     sched = linear_schedule(1e-4, 0.02, T)
-    ccfg = cond_unet_config(
-        num_labels=a["num_labels"], ch=a["ch"], ch_mult=tuple(a["ch_mult"]),
-        num_res_blocks=a["num_res_blocks"], dropout=a["dropout"], T=T,
-        dtype="bfloat16")
-    model = UNet(ccfg)
+    # EXACTLY the artifact's architecture (functional time embedding etc.)
+    model, _ = ta.build_unet("shapes64_cond")
     if args.T:
-        # SMOKE: the artifact's table time-embedding bakes T=1000; a
-        # shortened chain can't load it. Random init — pipeline check only.
+        # SMOKE: shortened chain, random init — pipeline check only.
         params = model.init(jax.random.PRNGKey(0),
                             jnp.zeros((2, 64, 64, 3)),
                             jnp.zeros((2,), jnp.int32),
@@ -113,12 +106,48 @@ def main():
         ("high_t_half", W, iv(0.5, 1.0)),
     ]
 
+    # ONE compiled program family for every arm: w/lo/hi ride as TRACED
+    # scalars through make_cfg_eps_fn (the chain's cond structure is
+    # interval-independent), so the 5-arm sweep shares compiles instead of
+    # paying five. The chain itself runs as SEG host-chained
+    # denoise_segment launches (carried key => bit-identical to one
+    # `sample` call) to stay under the TPU-worker watchdog that killed a
+    # single T=1000 launch live (same failure mode the flagship search hit;
+    # product knob: diffusion.launch_segments).
+    from functools import partial
+
+    from itsd_tpu.core import denoise_segment
+
+    SEG = 8
+
+    @partial(jax.jit, static_argnames=("t_from", "t_to"))
+    def run_seg(x, k, w, lo, hi, t_from, t_to):
+        eps_fn = make_cfg_eps_fn(model_eps, lab_plus1, w, interval=(lo, hi))
+        return denoise_segment(sched, eps_fn, x, k, t_from, t_to,
+                               return_key=True)
+
+    seg_bounds = []
+    edges = [round(T * i / SEG) for i in range(SEG, -1, -1)]
+    for a_t, b_t in zip(edges[:-1], edges[1:]):
+        seg_bounds.append((a_t, b_t))
+
+    def run_chain(noise, k, w, lo, hi):
+        x = noise
+        for t_from, t_to in seg_bounds:
+            x, k = run_seg(x, k, w, lo, hi, t_from, t_to)
+        return jnp.clip(x, -1.0, 1.0)
+
+    def arm_args(w, interval):
+        if w == 0.0:
+            return 0.0, 0, 0          # never active: ONE cond forward/step
+        if interval is None:
+            return w, 0, T            # always active: full-range CFG
+        return float(w), int(interval[0]), int(interval[1])
+
     runners = {}
     for name, w, interval in ARMS:
-        eps_fn = make_cfg_eps_fn(model_eps, lab_plus1, w, interval=interval)
-        runners[name] = jax.jit(
-            lambda noise, k, _e=eps_fn: jnp.clip(
-                sample(sched, _e, noise, k), -1.0, 1.0))
+        _a = arm_args(w, interval)
+        runners[name] = lambda noise, k, _a=_a: run_chain(noise, k, *_a)
 
     backend = jax.default_backend()
     path = os.path.join(

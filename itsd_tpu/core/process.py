@@ -209,7 +209,11 @@ def make_cfg_eps_fn(model_eps_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarra
             lab = jnp.tile(lab, x_t.shape[0] // lab.shape[0])
         if interval is None:
             return dual(x_t, t, lab)
-        lo, hi = int(interval[0]), int(interval[1])
+        # lo/hi (and w) may be TRACED scalars: a sweep over guidance
+        # intervals/strengths then shares ONE compiled program instead of
+        # recompiling the whole T-step chain per arm (the cond structure is
+        # interval-independent). Static Python ints behave identically.
+        lo, hi = interval[0], interval[1]
         active = jnp.logical_and(t.reshape(-1)[0] >= lo,
                                  t.reshape(-1)[0] < hi)
         return jax.lax.cond(

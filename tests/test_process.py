@@ -162,6 +162,35 @@ def test_cfg_interval_samples_under_scan(key):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_cfg_interval_traced_scalars_one_program(key):
+    """w/lo/hi may ride as TRACED scalars (an arm sweep shares one compiled
+    program): results must match the static-constant path exactly, and
+    distinct (w, lo, hi) values must NOT retrigger compilation."""
+    W = jax.random.normal(key, (3, 3))
+
+    def model(x, t, labels):
+        return x @ W + labels[:, None, None, None].astype(jnp.float32)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 2, 3))
+    labels = jnp.array([1, 2, 3, 4])
+
+    compiles = 0
+
+    @jax.jit
+    def traced(xx, t, w, lo, hi):
+        nonlocal compiles
+        compiles += 1
+        return make_cfg_eps_fn(model, labels, w, interval=(lo, hi))(xx, t)
+
+    for w, lo, hi in [(1.8, 100, 700), (0.5, 0, 1000), (0.0, 0, 0)]:
+        static = make_cfg_eps_fn(model, labels, w, interval=(lo, hi))
+        for tv in (0, 99, 100, 699, 700, 999):
+            t = jnp.full((4,), tv, jnp.int32)
+            np.testing.assert_allclose(np.asarray(traced(x, t, w, lo, hi)),
+                                       np.asarray(static(x, t)), rtol=1e-5)
+    assert compiles == 1, f"traced scalars retraced {compiles}x"
+
+
 def test_cfg_nfes_accounting():
     from itsd_tpu.core import cfg_nfes
     assert cfg_nfes(1000) == 2000
