@@ -26,9 +26,12 @@ the parent's JAX backend; finished measurements are checkpointed to a
 progress file immediately, so a mid-run flap never discards them; on a
 worker failure the orchestrator re-probes the relay with backoff and
 retries until BENCH_DEADLINE_S (default 90 min) — the persistent XLA
-compilation cache makes retries cheap. The final JSON line reports every
-workload that finished before the deadline, with per-workload errors for
-any that did not.
+compilation cache makes retries cheap. The cumulative summary JSON line is printed after EVERY
+workload (the driver's parser takes the LAST line), the internal deadline
+runs at 0.85x the driver window so graceful truncation fires before
+SIGKILL, and workloads whose estimated minimum cost exceeds the remaining
+budget are skipped with an error entry instead of started — so a kill at
+any point still leaves the best-so-far record on stdout (VERDICT r4).
 """
 
 import json
@@ -553,6 +556,20 @@ WORKLOADS = {
 TIMEOUTS = {"imagenet256": 2700.0, "workload5": 3000.0, "baseline": 900.0}
 DEFAULT_TIMEOUT = 1800.0
 
+# Minimum-budget estimates used to SKIP a workload we cannot possibly
+# finish, instead of starting it and dying mid-run (VERDICT r4: the driver
+# SIGKILLed bench mid-cfg-workload and the record was lost). Two tiers:
+# "cold" when the persistent XLA cache misses (observed: ~860 s cold
+# compile for the T=1000 sampler via the relay, ~12 min for the 256x256
+# flash program), "warm" when it hits. Which tier applies is decided from
+# the first TPU workload's observed wall time.
+COLD_MIN_S = {"ours": 1000.0, "cfg": 1000.0, "search": 1100.0,
+              "ensemble_search": 1500.0, "fast_sampler": 300.0,
+              "train": 500.0, "imagenet256": 2700.0, "workload5": 3000.0}
+WARM_MIN_S = {"ours": 120.0, "cfg": 120.0, "search": 180.0,
+              "ensemble_search": 300.0, "fast_sampler": 60.0,
+              "train": 90.0, "imagenet256": 700.0, "workload5": 1000.0}
+
 
 def _progress_path() -> str:
     import tempfile
@@ -712,17 +729,70 @@ def _last_known_good():
     return out or None
 
 
+def _summary_line(results: dict) -> str:
+    """The ONE parseable JSON line, built from whatever has finished so
+    far. Emitted after EVERY workload (not just at exit) so a SIGKILL at
+    any point leaves the best-so-far record on stdout — the driver's
+    parser takes the last line (VERDICT r4: the 10.1 img/s result existed
+    in the progress file but was never printed because emission happened
+    only at the end of main())."""
+    ours = results.get(PRIMARY, {})
+    base = results.get("baseline", {})
+    value = ours.get("images_per_sec")
+    vs = (value / base["images_per_sec"]
+          if value and base.get("images_per_sec") else None)
+    detail = {"workload": f"CIFAR10-uncond DDPM sample T={T} batch={BATCH}",
+              "ours": ours, "baseline_torch_cpu": base}
+    detail.update({k: v for k, v in results.items()
+                   if k not in ("ours", "baseline")})
+    if value is None:
+        detail["error"] = ours.get("error", "primary workload not measured")
+        lkg = _last_known_good()
+        if lkg:
+            detail["last_known_good"] = lkg
+    return json.dumps({
+        "metric": "images_per_sec_per_chip",
+        "value": round(value, 4) if value else None,
+        "unit": "img/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "detail": detail,
+    })
+
+
 def main():
-    deadline = time.time() + float(
-        os.environ.get("BENCH_DEADLINE_S", "5400"))
+    # Internal deadline runs at a safety margin below the driver's kill
+    # window (default 0.85x) so the graceful-truncation path can actually
+    # fire before SIGKILL: r04 had both at 5400 s and bench died rc=124
+    # with its summary unprinted.
+    window = float(os.environ.get("BENCH_DEADLINE_S", "5400"))
+    safety = float(os.environ.get("BENCH_SAFETY_FRACTION", "0.85"))
+    deadline = time.time() + window * safety
     names = (["baseline", PRIMARY] if os.environ.get("BENCH_FAST") == "1"
              else list(WORKLOADS))
     progress = _load_progress()
     results = progress["results"]
+    cache_cold = None  # unknown until the first TPU workload reports
 
     for name in names:
         if name in results and "error" not in results[name]:
             log(f"[bench] {name}: reusing checkpointed result")
+            print(_summary_line(results), flush=True)
+            continue
+        # Skip what cannot possibly finish instead of dying mid-run.
+        # Never skip baseline or the primary: a null primary is the one
+        # unacceptable outcome, and the attempt is timeout-bounded anyway.
+        min_need = (0.0 if name in ("baseline", PRIMARY)
+                    else (COLD_MIN_S if cache_cold in (None, True)
+                          else WARM_MIN_S).get(name, 0.0))
+        if deadline - time.time() < min_need:
+            tier = "cold" if cache_cold in (None, True) else "warm"
+            results[name] = {
+                "error": f"skipped: {deadline - time.time():.0f}s budget < "
+                         f"{min_need:.0f}s estimated minimum ({tier} "
+                         "compilation cache)"}
+            _save_progress(progress)
+            log(f"[bench] {name}: {results[name]['error']}")
+            print(_summary_line(results), flush=True)
             continue
         attempts = 0
         while True:
@@ -732,12 +802,19 @@ def main():
                 break
             log(f"[bench] running workload: {name} "
                 f"(attempt {attempts + 1}, {budget:.0f}s to deadline)")
+            t0 = time.time()
             ok, payload = _run_worker(
                 name, min(TIMEOUTS.get(name, DEFAULT_TIMEOUT), budget))
+            elapsed = time.time() - t0
             if ok:
                 results[name] = payload
                 _save_progress(progress)
-                log(f"[bench] {name}: done")
+                log(f"[bench] {name}: done ({elapsed:.0f}s)")
+                if name != "baseline" and cache_cold is None:
+                    cache_cold = elapsed > 300.0
+                    log(f"[bench] compilation cache looks "
+                        f"{'COLD' if cache_cold else 'warm'} "
+                        f"(first TPU workload took {elapsed:.0f}s)")
                 break
             log(f"[bench] {name} failed: {payload.get('error')}")
             # Relay down is not a workload bug: wait it out without
@@ -755,28 +832,9 @@ def main():
                 results[name] = payload
                 _save_progress(progress)
                 break
+        print(_summary_line(results), flush=True)
 
-    ours = results.get(PRIMARY, {})
-    base = results.get("baseline", {})
-    value = ours.get("images_per_sec")
-    vs = (value / base["images_per_sec"]
-          if value and base.get("images_per_sec") else None)
-    detail = {"workload": f"CIFAR10-uncond DDPM sample T={T} batch={BATCH}",
-              "ours": ours, "baseline_torch_cpu": base}
-    detail.update({k: v for k, v in results.items()
-                   if k not in ("ours", "baseline")})
-    if value is None:
-        detail["error"] = ours.get("error", "primary workload not measured")
-        lkg = _last_known_good()
-        if lkg:
-            detail["last_known_good"] = lkg
-    print(json.dumps({
-        "metric": "images_per_sec_per_chip",
-        "value": round(value, 4) if value else None,
-        "unit": "img/s",
-        "vs_baseline": round(vs, 2) if vs else None,
-        "detail": detail,
-    }))
+    print(_summary_line(results), flush=True)
 
 
 if __name__ == "__main__":

@@ -98,8 +98,12 @@ def main():
     def iv(lo_frac, hi_frac):
         return (int(lo_frac * T), int(hi_frac * T))
 
+    # "cond_w0": with cfg_combine = (1+w)*eps_cond - w*eps_uncond, w=0 is a
+    # pure CONDITIONAL forward (one cond eval/step) — NOT unconditional
+    # sampling; its ~0.37 class-control acc vs 0.1 chance confirms the
+    # conditioning is active. (Renamed from the misleading "uncond_w0".)
     ARMS = [
-        ("uncond_w0", 0.0, None),
+        ("cond_w0", 0.0, None),
         ("full", W, None),
         ("low_t_half", W, iv(0.0, 0.5)),
         ("mid_half", W, iv(0.25, 0.75)),
@@ -118,7 +122,7 @@ def main():
 
     from itsd_tpu.core import denoise_segment
 
-    SEG = 8
+    SEG = min(8, T)
 
     @partial(jax.jit, static_argnames=("t_from", "t_to"))
     def run_seg(x, k, w, lo, hi, t_from, t_to):
@@ -127,7 +131,11 @@ def main():
                                return_key=True)
 
     seg_bounds = []
-    edges = [round(T * i / SEG) for i in range(SEG, -1, -1)]
+    # dedupe rounded edges: for small smoke T (e.g. --T 6 with SEG=8 before
+    # the min() clamp) duplicates would violate denoise_segment's
+    # `t_to < t_from` contract (ADVICE r4)
+    edges = sorted({round(T * i / SEG) for i in range(SEG, -1, -1)},
+                   reverse=True)
     for a_t, b_t in zip(edges[:-1], edges[1:]):
         seg_bounds.append((a_t, b_t))
 
@@ -162,6 +170,8 @@ def main():
             prev = json.load(f)
         if prev.get("backend") == backend:
             for k, v in prev.get("per_seed", {}).items():
+                if k == "uncond_w0":  # pre-rename key: same arm, migrate
+                    k = "cond_w0"
                 rows.setdefault(k, []).extend(
                     x for x in v if x not in rows.get(k, []))
             note(f"resuming from {path}")
@@ -188,9 +198,14 @@ def main():
                 "w": w,
                 "interval": list(interval) if interval else None,
                 "model_evals_per_image": (cfg_nfes(T, interval) if w else T),
+                "n_seeds": len(rs),
                 "class_control_acc": float(np.mean(
                     [r["acc"] for r in rs])),
+                "class_control_acc_std": float(np.std(
+                    [r["acc"] for r in rs])),
                 "fid_proxy": float(np.mean([r["fid_proxy"] for r in rs])),
+                "fid_proxy_std": float(np.std(
+                    [r["fid_proxy"] for r in rs])),
                 "wall_s_per_chain": float(np.mean(
                     [r["wall_s"] for r in rs[1:]] or
                     [rs[0]["wall_s"]])),  # drop seed-0 compile wall

@@ -40,6 +40,12 @@ def main():
                     help="steps per tracked segment = steps per device "
                          "launch (~15-20 s at ch=128 batch 4)")
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--is-splits", type=int, default=1,
+                    help="IS split count. At batch 4 the reference's "
+                         "10-split protocol clamps to 4 single-image "
+                         "splits where IS is identically 1.0; one "
+                         "4-image split makes the tracked column "
+                         "informative (VERDICT r4 weak #4)")
     ap.add_argument("--num-real", type=int, default=512)
     ap.add_argument("--out", default=os.path.join(
         REPO, "docs", "results", "flagship256_inference_metrics.json"))
@@ -66,6 +72,7 @@ def main():
         "diffusion.clip_denoised=true",
         f"train.eval_metric_interval={args.interval}",
         f"train.eval_batch_size={args.batch}",
+        f"train.is_splits={args.is_splits}",
         f"train.fid_num_real_samples={args.num_real}",
         f"train.clip_num_real_samples={args.num_real}",
         f"save_weight_dir={ta.ARTIFACTS}",
@@ -107,7 +114,9 @@ def main():
         "inference_T": args.inference_t,
         "interval": args.interval,
         "batch": args.batch,
+        "is_splits": args.is_splits,
         "feature_extractor": out.get("provenance"),
+        "is_logit_source": out.get("is_logit_source"),
         "clip_tracked": clip_tracked,
         "wall_s_incl_compile": round(wall, 1),
         "all_tracked_is_finite": bool(finite),

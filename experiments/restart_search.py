@@ -1,0 +1,201 @@
+"""Does the verifier-free axis (restart sampling) STACK with the search
+axis (best-of-N) at equal NFE? (VERDICT r4 weak #7 / next #6.)
+
+`run_sampler` wires `diffusion.restart_intervals` into the search
+candidate generator (`itsd_tpu/cli/runner.py:run_sampler`), so best-of-N
+over restart chains is a product path — but until now the composition was
+claimed, never measured. Design, on the trained shapes32_uncond artifact
+at its native T=1000 (same rig as restart_budget.py):
+
+  equal-NFE pairs (restart (700,200,1) costs 1.5x a plain chain):
+    plain best-of-6  (6000 NFE)  vs  restart best-of-4 (6000 NFE)
+    plain best-of-12 (12000 NFE) vs  restart best-of-8 (12000 NFE)
+  anchors: plain best-of-1 (1000), restart best-of-1 (1500)
+
+Scored two ways per arm: the SELECTION verifier (mean classifier
+max-softmax confidence — what best-of-N argmaxes) and an INDEPENDENT
+population FID-proxy (pooled-pixel Frechet vs held-out reals) of the
+selected batch, so a verifier-hacked win cannot masquerade as quality.
+
+Usage: python experiments/restart_search.py [--seeds 10]
+Writes: docs/results/restart_search.json (resumable per cell;
+        backend-suffixed off-TPU)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RESULTS = os.path.join(REPO, "docs", "results")
+ARTIFACTS = os.path.join(REPO, "artifacts")
+
+RESTART = ((700, 200, 1),)
+# arm -> (chain, n_candidates); NFE = n * chain_cost
+ARMS = {
+    "plain_bo1": ("plain", 1),
+    "restart_bo1": ("restart", 1),
+    "plain_bo6": ("plain", 6),
+    "restart_bo4": ("restart", 4),
+    "plain_bo12": ("plain", 12),
+    "restart_bo8": ("restart", 8),
+}
+
+
+def note(m):
+    print(f"[restart-search] {m}", file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--T", type=int, default=None,
+                    help="SMOKE ONLY: shorten the chain (random weights; "
+                         "pipeline validation, numbers meaningless)")
+    args = ap.parse_args()
+
+    from itsd_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench as _bench
+    import experiments.train_artifacts as ta
+    from itsd_tpu.core import (linear_schedule, restart_nfes,
+                               restart_sample, sample)
+    from itsd_tpu.data import shapes_dataset
+    from itsd_tpu.models.classifier import load_classifier
+    from itsd_tpu.search import random_search
+    from itsd_tpu.search.verifiers import make_fid_proxy
+
+    T = args.T or ta.TRAIN_T
+    model, _ = ta.build_unet("shapes32_uncond")
+    if args.T:
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, 32, 32, 3)),
+                            jnp.zeros((2,), jnp.int32))
+    else:
+        params = _bench.load_artifact_params("shapes32_uncond")
+        assert params is not None, "artifacts/shapes32_uncond missing"
+    sched = linear_schedule(1e-4, 0.02, T)
+    eps_fn = lambda x, t: model.apply(params, x, t)
+
+    logit_fn, _, _ = load_classifier(
+        os.path.join(ARTIFACTS, "classifier_shapes32"))
+    images, _ = shapes_dataset(n=2048, img_size=32, num_labels=10, seed=0)
+    fid_proxy = make_fid_proxy(jnp.asarray(images[-512:]))
+
+    # the SELECTION verifier: mean max-softmax classifier confidence of the
+    # candidate batch (uncond model -> no target class; confidence rewards
+    # clean, recognizably-classed images)
+    def verifier(imgs):
+        unit = (imgs + 1.0) / 2.0
+        return jax.nn.softmax(logit_fn(unit), axis=-1).max(axis=-1).mean()
+
+    restarts = tuple((int(a * T / ta.TRAIN_T), int(b * T / ta.TRAIN_T), n)
+                     for a, b, n in RESTART) if args.T else RESTART
+    chains = {
+        "plain": lambda n, k: sample(sched, eps_fn, n, k),
+        "restart": lambda n, k: restart_sample(sched, eps_fn, n, k,
+                                               restarts=restarts),
+    }
+    chain_nfe = {"plain": T, "restart": restart_nfes(T, restarts)}
+
+    progs = {}
+    for name, (chain, n_cand) in ARMS.items():
+        progs[name] = jax.jit(lambda k, c=chains[chain], n=n_cand: (
+            lambda r: (r.best_score, r.best_images, r.history["scores"]))(
+            random_search(k, (args.batch, 32, 32, 3), c, verifier,
+                          n_candidates=n)))
+
+    backend = jax.default_backend()
+    path = os.path.join(
+        RESULTS, "restart_search.json" if backend == "tpu" and not args.T
+        else ("restart_search_smoke.json" if args.T
+              else f"restart_search_{backend}.json"))
+
+    cells = []
+    if os.path.isfile(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev.get("backend") == backend:
+            cells = prev.get("cells", [])
+    done = {(c["arm"], c["seed"]) for c in cells}
+
+    t0 = time.time()
+    for seed in range(args.seeds):
+        for arm_i, (name, (chain, n_cand)) in enumerate(ARMS.items()):
+            if (name, seed) in done:
+                continue
+            k = jax.random.PRNGKey(7000 + seed)
+            ts = time.time()
+            # stable per-arm key (hash() is process-randomized; fold_in on
+            # the arm INDEX keeps resumed runs bit-identical)
+            best_score, best_imgs, scores = progs[name](
+                jax.random.fold_in(k, arm_i))
+            cells.append({
+                "arm": name, "seed": seed,
+                "nfe_per_image": chain_nfe[chain] * n_cand,
+                "verifier_best": float(best_score),
+                "verifier_median": float(np.median(np.asarray(scores))),
+                "fid_proxy_of_winner": float(fid_proxy(
+                    np.asarray(best_imgs))),
+                "wall_s": round(time.time() - ts, 1),
+            })
+            _save(path, cells, backend, args, chain_nfe)
+            note(f"{name} seed {seed}: verifier {cells[-1]['verifier_best']:.4f} "
+                 f"proxy {cells[-1]['fid_proxy_of_winner']:.3f} "
+                 f"({time.time() - t0:.0f}s)")
+    _save(path, cells, backend, args, chain_nfe)
+    note(f"-> {path}")
+
+
+def _save(path, cells, backend, args, chain_nfe):
+    by_arm = {}
+    for c in cells:
+        by_arm.setdefault(c["arm"], []).append(c)
+    summary = {}
+    for name, rows in by_arm.items():
+        summary[name] = {
+            "nfe_per_image": rows[0]["nfe_per_image"],
+            "n_seeds": len(rows),
+            "verifier_best_mean": float(np.mean(
+                [r["verifier_best"] for r in rows])),
+            "verifier_best_std": float(np.std(
+                [r["verifier_best"] for r in rows])),
+            "fid_proxy_mean": float(np.mean(
+                [r["fid_proxy_of_winner"] for r in rows])),
+            "fid_proxy_std": float(np.std(
+                [r["fid_proxy_of_winner"] for r in rows])),
+        }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({
+            "workload": ("restart x search composition at equal NFE on "
+                         "trained shapes32_uncond (T native): best-of-N "
+                         "over restart(700,200,1) chains vs plain chains, "
+                         f"batch {args.batch}, {args.seeds} seeds; "
+                         "selection = mean classifier confidence, "
+                         "independent metric = pooled-pixel FID-proxy "
+                         "of the selected batch"),
+            "chain_nfe": chain_nfe,
+            "equal_nfe_pairs": [["plain_bo6", "restart_bo4"],
+                                ["plain_bo12", "restart_bo8"]],
+            "backend": backend,
+            "summary": summary,
+            "cells": cells,
+        }, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -190,6 +190,25 @@ def make_cfg_eps_fn(model_eps_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarra
     contract that ``t`` is batch-constant within a step (true of every
     sampler here: ancestral/DDIM/DPM/segments all broadcast a scalar step).
     """
+    if interval is not None:
+        # Fail fast on REVERSED concrete intervals at build time: lo > hi
+        # would silently disable guidance for the whole chain (never-active
+        # lax.cond branch) and look like plain unguided sampling. An EMPTY
+        # interval (lo == hi) stays legal — sweeps use it as the explicit
+        # "guidance off" arm (see cfg_nfes). Traced scalars skip the check
+        # (their values are unknown until runtime by design).
+        try:
+            lo_c, hi_c = int(interval[0]), int(interval[1])
+        except (TypeError, jax.errors.TracerIntegerConversionError,
+                jax.errors.ConcretizationTypeError):
+            pass  # tracer(s): values unknowable here — sweep programs own this
+        else:
+            if lo_c > hi_c:
+                raise ValueError(
+                    f"cfg interval (lo={lo_c}, hi={hi_c}) is reversed: "
+                    "guidance would never activate; want lo <= hi "
+                    "(lo == hi means guidance off)")
+
     def dual(x_t: jnp.ndarray, t: jnp.ndarray, lab: jnp.ndarray):
         x2 = jnp.concatenate([x_t, x_t], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)

@@ -34,7 +34,8 @@ class SmallCNN(nn.Module):
     cfg: ClassifierConfig
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True,
+                 return_features: bool = False):
         dtype = jnp.dtype(self.cfg.dtype)
         x = x.astype(dtype) * 2.0 - 1.0
         ch = self.cfg.ch
@@ -46,10 +47,16 @@ class SmallCNN(nn.Module):
                         bias_init=zeros, dtype=dtype, name=f"conv{i}b")(x)
             x = nn.silu(x)
             ch *= 2
-        x = x.mean(axis=(1, 2))
+        # GAP penultimate = the classifier's feature embedding (usable as a
+        # dataset-specific FID-proxy feature space, cf. Inception pool3)
+        feats = x.mean(axis=(1, 2)).astype(jnp.float32)
         x = nn.Dense(self.cfg.num_classes, kernel_init=xavier,
-                     bias_init=zeros, dtype=dtype, name="head")(x)
-        return x.astype(jnp.float32)
+                     bias_init=zeros, dtype=dtype, name="head")(
+                         feats.astype(dtype))
+        logits = x.astype(jnp.float32)
+        if return_features:
+            return logits, feats
+        return logits
 
 
 def train_classifier(images, labels, cfg: ClassifierConfig = None,
@@ -149,3 +156,40 @@ def load_classifier(path: str):
         return model.apply(params, x)
 
     return logit_fn, params, cfg
+
+
+def load_classifier_extractors(path: str):
+    """(feature_fn, logit_fn, provenance) from a SmallCNN checkpoint, for
+    the tracked-metrics pipeline: logits feed Inception-Score-style
+    tracking, the GAP penultimate feeds a dataset-specific FID-proxy.
+
+    A TRAINED in-domain classifier gives tracked IS real signal in
+    zero-egress environments where the random-weight Inception head's
+    splits are constant (IS == 1.0 exactly at every checkpoint). Clearly
+    dataset-specific: values are NOT comparable to Inception-based IS/FID.
+    """
+    import jax as _jax
+    from ..train.checkpoint import restore_params
+
+    params = restore_params(path, template=None)
+    p = params["params"]
+    depth = sum(1 for k in p if k.startswith("conv") and k.endswith("a"))
+    cfg = ClassifierConfig(
+        num_classes=int(p["head"]["kernel"].shape[-1]),
+        ch=int(p["conv0a"]["kernel"].shape[-1]),
+        depth=depth)
+    model = SmallCNN(cfg)
+
+    @_jax.jit
+    def _run(x):
+        return model.apply(params, x, return_features=True)
+
+    def feature_fn(images):
+        return _run(images)[1]
+
+    def logit_fn(images):
+        return _run(images)[0]
+
+    provenance = (f"classifier:{path} ({cfg.num_classes}-class SmallCNN, "
+                  "dataset-specific — not comparable to Inception IS/FID)")
+    return feature_fn, logit_fn, provenance

@@ -108,6 +108,17 @@ class TrainCfg:
     # epoch is a torch-GPU-memory workaround, `Train.py:210-244`)
     precompute_real_features: bool = False
     is_splits: int = 10                 # IS split count (`metrics.py:377-417`)
+    # Logit source for tracked Inception-Score-style metrics:
+    #   "inception" — the Inception-V3 head (reference behavior; with
+    #                 random weights its IS is a constant 1.0 — plumbing
+    #                 signal only);
+    #   "auto"      — pretrained Inception when available, else a trained
+    #                 SmallCNN checkpoint at
+    #                 <save_weight_dir>/classifier_<dataset><img_size>
+    #                 (dataset-specific IS with real signal), else
+    #                 Inception as-is;
+    #   <path>      — an explicit SmallCNN checkpoint directory.
+    is_logit_source: str = "auto"
     eval_batch_size: Optional[int] = None
     fid_num_real_samples: int = 5000
     clip_num_real_samples: int = 5000
@@ -324,6 +335,7 @@ _LEGACY_MAP = {
     "time_embedding_strategy": "train.time_embedding_strategy",
     "eval_batch_size": "train.eval_batch_size",
     "fid_num_real_samples": "train.fid_num_real_samples",
+    "is_logit_source": "train.is_logit_source",
     "clip_num_real_samples": "train.clip_num_real_samples",
     "eval_metric_interval": "train.eval_metric_interval",
     "use_val_for_eval": "train.use_val_for_eval",

@@ -15,6 +15,14 @@ Checks, per process:
      reduction that needs every shard).
   3. One full SPMD train step on the global mesh matches the same step
      computed on a single local device with the full global batch.
+  4. A sharded best-of-N random search (candidate axis over the global
+     mesh) matches the same search computed single-device — per-candidate
+     scores checked shard-by-shard via `addressable_shards` (VERDICT r4
+     next #7: search across REAL process boundaries, not just the train
+     step).
+  5. A ring-attention forward with tokens sharded over a global 'seq'
+     axis SPANNING both processes (ppermute hops cross the process
+     boundary) matches dense single-head attention computed on the host.
 
 Prints "MULTIHOST_OK <loss_spmd> <loss_local>" on success; any assertion
 failure propagates as a non-zero exit the parent test reports.
@@ -113,6 +121,64 @@ def main():
 
     assert abs(loss_spmd - loss_local) < 1e-4 * max(1.0, abs(loss_local)), (
         loss_spmd, loss_local)
+
+    # --- sharded best-of-N search across the process boundary
+    from itsd_tpu.core import sample
+    from itsd_tpu.parallel import candidate_sharding
+    from itsd_tpu.search import random_search
+
+    denoise = lambda noise, k2: sample(sched, lambda x, t: 0.1 * x,
+                                       noise, k2)
+    verifier = lambda images: -jnp.mean(images ** 2)
+    skey = jax.random.PRNGKey(5)
+    shape = (1, 8, 8, 3)  # B=1 so N*B=4 tiles the 4-device global mesh
+    res_plain = random_search(skey, shape, denoise, verifier,
+                              n_candidates=4)
+    res_shard = random_search(skey, shape, denoise, verifier,
+                              n_candidates=4,
+                              sharding=candidate_sharding(mesh))
+    # the argmax'd best score reduces to a replicated scalar
+    assert abs(float(res_shard.best_score)
+               - float(res_plain.best_score)) < 1e-5, (
+        float(res_shard.best_score), float(res_plain.best_score))
+    # per-candidate scores live sharded across BOTH processes: check the
+    # locally-addressable shards against the single-device run
+    plain_scores = np.asarray(res_plain.history["scores"])
+    n_checked = 0
+    for shard in res_shard.history["scores"].addressable_shards:
+        np.testing.assert_allclose(np.asarray(shard.data),
+                                   plain_scores[shard.index],
+                                   rtol=1e-5, atol=1e-6)
+        n_checked += 1
+    assert n_checked > 0
+
+    # --- ring attention with the token ring spanning both processes
+    from jax.sharding import NamedSharding, PartitionSpec as RP
+
+    from itsd_tpu.kernels.ring_attention import sequence_sharded_attention
+    from itsd_tpu.parallel import make_mesh as _mk
+
+    mesh_seq = _mk(axis_names=("seq",))  # all 4 global devices in the ring
+    B, N, C = 2, 16, 8
+    rng_r = np.random.default_rng(11)
+    q_h, k_h, v_h = (rng_r.normal(0, 1, (B, N, C)).astype(np.float32)
+                     for _ in range(3))
+    sh = NamedSharding(mesh_seq, RP(None, "seq", None))
+    q_g, k_g, v_g = (jax.make_array_from_callback(
+        (B, N, C), sh, lambda idx, a=a: a[idx]) for a in (q_h, k_h, v_h))
+    out = sequence_sharded_attention(q_g, k_g, v_g, mesh_seq, axis="seq",
+                                     impl="xla")
+    # dense single-head reference on the host
+    s = np.einsum("bqc,bkc->bqk", q_h, k_h) * (C ** -0.5)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    ref = np.einsum("bqk,bkc->bqc", p / p.sum(-1, keepdims=True), v_h)
+    n_checked = 0
+    for shard in out.addressable_shards:
+        np.testing.assert_allclose(np.asarray(shard.data), ref[shard.index],
+                                   rtol=1e-4, atol=1e-5)
+        n_checked += 1
+    assert n_checked > 0
+
     print(f"MULTIHOST_OK {loss_spmd} {loss_local}", flush=True)
 
 

@@ -27,7 +27,9 @@ def bench(tmp_path, monkeypatch):
     importlib.reload(b)
     monkeypatch.setenv("BENCH_PROGRESS_FILE",
                        str(tmp_path / "progress.json"))
-    monkeypatch.setenv("BENCH_DEADLINE_S", "30")
+    # large enough that the budget-skip heuristic never fires in tests
+    # that aren't specifically about it (mock workers return instantly)
+    monkeypatch.setenv("BENCH_DEADLINE_S", "100000")
     # keep fingerprints stable under the test env
     monkeypatch.setattr(b, "_fingerprint", lambda: "test-fp")
     return b
@@ -157,6 +159,83 @@ def test_deadline_exhaustion_reports_missing_workloads(bench, monkeypatch,
     assert "error" in rec["detail"]
 
 
+def test_summary_emitted_after_every_workload(bench, monkeypatch, capsys):
+    """VERDICT r4: bench was SIGKILLed mid-workload and the finished
+    10.1 img/s result was never printed. The fix: the cumulative summary
+    line is printed after EVERY workload, so killing bench at any point
+    leaves a valid best-so-far record as the last stdout line."""
+    def fake_worker(name, timeout_s):
+        if name == "baseline":
+            return True, {"images_per_sec": 0.01}
+        return True, {"images_per_sec": 10.0}
+
+    monkeypatch.setattr(bench, "_run_worker", fake_worker)
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    # one line per workload + the final one; every line parses and keeps
+    # the schema, and lines emitted after "ours" carry the real value
+    assert len(lines) >= len(bench.WORKLOADS)
+    for line in lines:
+        rec = json.loads(line)
+        assert set(rec) == {"metric", "value", "unit", "vs_baseline",
+                            "detail"}
+    assert json.loads(lines[-1])["value"] == 10.0
+
+    # had the driver killed bench right after the primary finished, the
+    # record would already have been on stdout: simulate by running only
+    # baseline+primary via a crashing third workload
+    def crashing_worker(name, timeout_s):
+        if name not in ("baseline", "ours"):
+            raise KeyboardInterrupt  # driver SIGKILL stand-in
+        return True, {"images_per_sec": 5.0 if name == "ours" else 0.01}
+
+    monkeypatch.setenv("BENCH_PROGRESS_FILE", bench._progress_path() + "2")
+    monkeypatch.setattr(bench, "_run_worker", crashing_worker)
+    try:
+        bench.main()
+    except KeyboardInterrupt:
+        pass
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert lines, "no summary line survived the kill"
+    last = json.loads(lines[-1])
+    assert last["value"] == 5.0
+    assert last["vs_baseline"] == 500.0
+
+
+def test_budget_skip_records_error_not_partial_run(bench, monkeypatch,
+                                                   capsys):
+    """When the remaining budget cannot fit a workload's estimated
+    minimum cost, it is skipped with an error entry instead of started —
+    but baseline and the primary are NEVER skipped."""
+    # 1000s window * 0.85 = 850s budget: below every COLD_MIN_S entry
+    # except fast_sampler/train; workers simulate a cold cache (>300s)
+    monkeypatch.setenv("BENCH_DEADLINE_S", "1000")
+    ran = []
+    clock = {"t": 1_000_000.0}
+    monkeypatch.setattr(bench.time, "time", lambda: clock["t"])
+
+    def fake_worker(name, timeout_s):
+        ran.append(name)
+        clock["t"] += 400.0  # cold-cache-scale elapsed
+        return True, {"images_per_sec": 9.0}
+
+    monkeypatch.setattr(bench, "_run_worker", fake_worker)
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    rec = json.loads(lines[-1])
+    # primary + baseline always ran
+    assert "baseline" in ran and "ours" in ran
+    assert rec["value"] == 9.0
+    # cold tier detected (ours took 400s) → big workloads were skipped
+    # with explanatory errors, not attempted
+    assert "workload5" not in ran
+    assert rec["detail"]["workload5"]["error"].startswith("skipped:")
+    assert "cold" in rec["detail"]["workload5"]["error"]
+
+
 def test_null_capture_carries_last_known_good_evidence(bench, monkeypatch,
                                                        capsys):
     """When the live capture fails entirely, the record must still point
@@ -178,7 +257,7 @@ def test_null_capture_carries_last_known_good_evidence(bench, monkeypatch,
     assert "imagenet256.json" in lkg["builder_measurements"]["files"]
 
     # ...and a successful capture does NOT carry the fallback section
-    monkeypatch.setenv("BENCH_DEADLINE_S", "30")
+    monkeypatch.setenv("BENCH_DEADLINE_S", "100000")
     monkeypatch.setattr(bench, "_run_worker",
                         lambda n, t: (True, {"images_per_sec": 1.0}))
     rec2 = run_main(bench, capsys)
