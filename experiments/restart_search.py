@@ -12,13 +12,20 @@ at its native T=1000 (same rig as restart_budget.py):
     plain best-of-12 (12000 NFE) vs  restart best-of-8 (12000 NFE)
   anchors: plain best-of-1 (1000), restart best-of-1 (1500)
 
-Scored two ways per arm: the SELECTION verifier (mean classifier
-max-softmax confidence — what best-of-N argmaxes) and an INDEPENDENT
-population FID-proxy (pooled-pixel Frechet vs held-out reals) of the
-selected batch, so a verifier-hacked win cannot masquerade as quality.
+Scored two ways per arm: the SELECTION verifier (what best-of-N
+argmaxes) and an INDEPENDENT population FID-proxy (pooled-pixel Frechet
+vs held-out reals) of the selected batch, so a verifier-hacked win
+cannot masquerade as quality.
 
-Usage: python experiments/restart_search.py [--seeds 10]
-Writes: docs/results/restart_search.json (resumable per cell;
+Two selection-verifier regimes (--verifier):
+  confidence  mean classifier max-softmax confidence — SATURATES by
+              N>=4 on this model (measured), the weak-verifier regime
+  target      mean log-prob of class 3 (the non-saturating verifier the
+              other search experiments use) — the regime where best-of-N
+              genuinely ranks candidates; writes restart_search_target.json
+
+Usage: python experiments/restart_search.py [--seeds 10] [--verifier v]
+Writes: docs/results/restart_search[_target].json (resumable per cell;
         backend-suffixed off-TPU)
 """
 
@@ -58,6 +65,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=10)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--verifier", choices=("confidence", "target"),
+                    default="confidence")
     ap.add_argument("--T", type=int, default=None,
                     help="SMOKE ONLY: shorten the chain (random weights; "
                          "pipeline validation, numbers meaningless)")
@@ -95,12 +104,21 @@ def main():
     images, _ = shapes_dataset(n=2048, img_size=32, num_labels=10, seed=0)
     fid_proxy = make_fid_proxy(jnp.asarray(images[-512:]))
 
-    # the SELECTION verifier: mean max-softmax classifier confidence of the
-    # candidate batch (uncond model -> no target class; confidence rewards
-    # clean, recognizably-classed images)
-    def verifier(imgs):
-        unit = (imgs + 1.0) / 2.0
-        return jax.nn.softmax(logit_fn(unit), axis=-1).max(axis=-1).mean()
+    if args.verifier == "confidence":
+        # mean max-softmax classifier confidence of the candidate batch
+        # (uncond model -> no target class; confidence rewards clean,
+        # recognizably-classed images). MEASURED: saturates by N>=4.
+        def verifier(imgs):
+            unit = (imgs + 1.0) / 2.0
+            return jax.nn.softmax(logit_fn(unit),
+                                  axis=-1).max(axis=-1).mean()
+    else:
+        # the non-saturating regime: mean log-prob of a target class
+        # (the same scoring the other search experiments use;
+        # classifier_verifier handles the [-1,1] -> [0,1] rescale)
+        from itsd_tpu.search.verifiers import classifier_verifier
+        verifier = classifier_verifier(
+            logit_fn, jnp.full((args.batch,), 3, jnp.int32))
 
     restarts = tuple((int(a * T / ta.TRAIN_T), int(b * T / ta.TRAIN_T), n)
                      for a, b, n in RESTART) if args.T else RESTART
@@ -119,10 +137,12 @@ def main():
                           n_candidates=n)))
 
     backend = jax.default_backend()
+    stem = ("restart_search" if args.verifier == "confidence"
+            else "restart_search_target")
     path = os.path.join(
-        RESULTS, "restart_search.json" if backend == "tpu" and not args.T
-        else ("restart_search_smoke.json" if args.T
-              else f"restart_search_{backend}.json"))
+        RESULTS, f"{stem}.json" if backend == "tpu" and not args.T
+        else (f"{stem}_smoke.json" if args.T
+              else f"{stem}_{backend}.json"))
 
     cells = []
     if os.path.isfile(path):
@@ -185,9 +205,12 @@ def _save(path, cells, backend, args, chain_nfe):
                          "trained shapes32_uncond (T native): best-of-N "
                          "over restart(700,200,1) chains vs plain chains, "
                          f"batch {args.batch}, {args.seeds} seeds; "
-                         "selection = mean classifier confidence, "
+                         f"selection = {args.verifier} "
+                         "(confidence = mean classifier max-softmax; "
+                         "target = mean log-prob of class 3), "
                          "independent metric = pooled-pixel FID-proxy "
                          "of the selected batch"),
+            "verifier": args.verifier,
             "chain_nfe": chain_nfe,
             "equal_nfe_pairs": [["plain_bo6", "restart_bo4"],
                                 ["plain_bo12", "restart_bo8"]],

@@ -325,6 +325,15 @@ def test_restart_search_wiring(tmp_path, monkeypatch):
     rep2 = json.load(open(out))
     assert json.dumps(rep2["cells"], sort_keys=True) == before
 
+    # the non-saturating target-class verifier regime writes its own file
+    monkeypatch.setattr(sys, "argv",
+                        ["restart_search.py", "--seeds", "1",
+                         "--batch", "2", "--verifier", "target"])
+    rs.main()
+    rep_t = json.load(open(tmp_path / "restart_search_target_cpu.json"))
+    assert rep_t["verifier"] == "target"
+    assert all(np.isfinite(c["verifier_best"]) for c in rep_t["cells"])
+
 
 @pytest.mark.slow
 def test_spatial_memory_probe_wiring(tmp_path, monkeypatch):
