@@ -206,9 +206,11 @@ def main():
                 "fid_proxy": float(np.mean([r["fid_proxy"] for r in rs])),
                 "fid_proxy_std": float(np.std(
                     [r["fid_proxy"] for r in rs])),
-                "wall_s_per_chain": float(np.mean(
-                    [r["wall_s"] for r in rs[1:]] or
-                    [rs[0]["wall_s"]])),  # drop seed-0 compile wall
+                # median: robust to BOTH the seed-0 compile wall and
+                # mid-run recompiles (a relay cache miss put a 636 s wall
+                # on one warm-seed low_t_half chain in the round-5 run)
+                "wall_s_per_chain": float(np.median(
+                    [r["wall_s"] for r in rs])),
             }
         with open(path, "w") as f:
             json.dump(summary, f, indent=1)
