@@ -43,6 +43,18 @@ ARCHS = {
     # ModelCondition.py layout) so run_search can load this checkpoint
     "shapes64_cond": dict(img=64, ch=64, ch_mult=(1, 2, 2, 2), attn=(),
                           num_res_blocks=2, dropout=0.1, num_labels=10),
+    # UNDER-TRAINED twin of shapes64_cond (same arch, same data/protocol,
+    # ~1/8 the steps): the "bad version of itself" that autoguidance
+    # (Karras et al. 2024) guides against — see experiments/autoguidance.py
+    "shapes64_cond_weak": dict(img=64, ch=64, ch_mult=(1, 2, 2, 2),
+                               attn=(), num_res_blocks=2, dropout=0.1,
+                               num_labels=10),
+    # the HALF-trained twin (Karras et al.: the weak model must be weak
+    # but not TOO weak — the 1/8-steps twin measurably over-extrapolates,
+    # docs/results/autoguidance.json)
+    "shapes64_cond_mid": dict(img=64, ch=64, ch_mult=(1, 2, 2, 2),
+                              attn=(), num_res_blocks=2, dropout=0.1,
+                              num_labels=10),
     # The reference's flagship STRUCTURE (config/config.yaml:17-31):
     # img 256, ch_mult (1,2,3,4), attention at stage 2 = 64x64 feature map
     # = 4096 tokens — exactly the token count where the reference's
@@ -384,6 +396,11 @@ def main():
             "shapes32_uncond", args.steps32, args.batch32),
         "shapes64_cond": lambda: train_diffusion(
             "shapes64_cond", args.steps64, args.batch64),
+        # opt-in (--only): the autoguidance weak twin at 1/8 the steps
+        "shapes64_cond_weak": lambda: train_diffusion(
+            "shapes64_cond_weak", max(1, args.steps64 // 8), args.batch64),
+        "shapes64_cond_mid": lambda: train_diffusion(
+            "shapes64_cond_mid", max(1, args.steps64 // 2), args.batch64),
         # flagship-structure artifacts are opt-in (--only): ~20 min on-chip
         "classifier_shapes256": lambda: train_verifier_classifier(256),
         "shapes256_uncond": lambda: train_diffusion(

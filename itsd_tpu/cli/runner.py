@@ -133,12 +133,16 @@ def init_params(cfg: Config, model, conditional: bool):
     return model.init(jax.random.PRNGKey(cfg.seed), x, t)
 
 
-def load_eval_params(cfg: Config, model, conditional: bool):
-    """Load weights for inference from `test_load_weight`: accepts both full
-    training checkpoints (prefer EMA) and weights-only checkpoints, then
-    applies cross-T time-embedding surgery if needed."""
-    assert cfg.test_load_weight, "needs test_load_weight"
-    path = os.path.join(cfg.save_weight_dir, cfg.test_load_weight)
+def load_eval_params(cfg: Config, model, conditional: bool,
+                     name: Optional[str] = None):
+    """Load weights for inference from `test_load_weight` (or an explicit
+    checkpoint `name`, e.g. `diffusion.weak_load_weight` for
+    autoguidance): accepts both full training checkpoints (prefer EMA)
+    and weights-only checkpoints, then applies cross-T time-embedding
+    surgery if needed."""
+    name = name or cfg.test_load_weight
+    assert name, "needs test_load_weight"
+    path = os.path.join(cfg.save_weight_dir, name)
     try:
         restored = restore_checkpoint(path)
         params = restored.ema_params or restored.params
@@ -271,17 +275,44 @@ def _segmented_chain(cfg: Config, sched, eps_fn, seg_n: int):
 
 
 def make_eps_fn(model, params, conditional: bool, labels=None,
-                w: float = 0.0, cfg_interval=None):
+                w: float = 0.0, cfg_interval=None, weak_params=None):
     """eps_fn(x, t) for the sampler: plain for unconditional, dual-batched
     CFG mix for conditional (`DiffusionCondition.py:79-87` semantics).
     ``cfg_interval=(lo, hi)`` restricts guidance to that timestep range
-    (single conditional forward outside it — core.process.make_cfg_eps_fn)."""
+    (single conditional forward outside it — core.process.make_cfg_eps_fn).
+    With ``weak_params`` (diffusion.guidance=auto) the mix is
+    autoguidance instead: strong vs weak conditional forwards
+    (core.process.make_autoguidance_eps_fn)."""
     if not conditional:
         return lambda x, t: model.apply(params, x, t)
     assert labels is not None
+    if weak_params is not None:
+        from ..core import make_autoguidance_eps_fn
+        return make_autoguidance_eps_fn(
+            lambda x, t, lab: model.apply(params, x, t, lab),
+            lambda x, t, lab: model.apply(weak_params, x, t, lab),
+            labels, w, interval=cfg_interval)
     return make_cfg_eps_fn(
         lambda x, t, lab: model.apply(params, x, t, lab), labels, w,
         interval=cfg_interval)
+
+
+def load_weak_params(cfg: Config, model, conditional: bool):
+    """The weak-model weights for diffusion.guidance=auto, or None when
+    CFG is selected. Loaded through the same checkpoint path as eval
+    weights (full/weights-only, EMA preference, cross-T surgery)."""
+    if cfg.diffusion.guidance != "auto":
+        return None
+    if not cfg.diffusion.weak_load_weight:
+        raise ValueError(
+            "diffusion.guidance=auto needs diffusion.weak_load_weight "
+            "(an under-trained checkpoint of the same architecture)")
+    if not conditional:
+        raise ValueError(
+            "diffusion.guidance=auto requires a conditional model "
+            "(autoguidance mixes two label-conditioned forwards)")
+    return load_eval_params(cfg, model, conditional,
+                            name=cfg.diffusion.weak_load_weight)
 
 
 # ---------------------------------------------------------------------------
@@ -611,7 +642,9 @@ def _sample_grid_during_training(cfg, model, state, conditional, epoch, key):
     if conditional:
         labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
         eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w,
-                             cfg_interval=cfg.diffusion.cfg_interval)
+                             cfg_interval=cfg.diffusion.cfg_interval,
+                             weak_params=load_weak_params(
+                                 cfg, model, True))
     else:
         eps_fn = make_eps_fn(model, params, False)
     smesh = _spatial_mesh(cfg, cfg.data.img_size)
@@ -642,7 +675,9 @@ def evaluate(cfg: Config, params=None) -> dict:
     if conditional:
         labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
         eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w,
-                             cfg_interval=cfg.diffusion.cfg_interval)
+                             cfg_interval=cfg.diffusion.cfg_interval,
+                             weak_params=load_weak_params(
+                                 cfg, model, True))
     else:
         eps_fn = make_eps_fn(model, params, False)
 
@@ -750,7 +785,9 @@ def sample_with_metrics(cfg: Config, params, feature_fn=None,
     if conditional:
         labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
         eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w,
-                             cfg_interval=cfg.diffusion.cfg_interval)
+                             cfg_interval=cfg.diffusion.cfg_interval,
+                             weak_params=load_weak_params(
+                                 cfg, model, True))
     else:
         eps_fn = make_eps_fn(model, params, False)
 
@@ -1014,7 +1051,9 @@ def run_search(cfg: Config, params=None, verifier_fn=None) -> dict:
     if conditional:
         labels = (jnp.arange(eval_bs) % cfg.model.num_labels) + 1
         eps_fn = make_eps_fn(model, params, True, labels, cfg.diffusion.w,
-                             cfg_interval=cfg.diffusion.cfg_interval)
+                             cfg_interval=cfg.diffusion.cfg_interval,
+                             weak_params=load_weak_params(
+                                 cfg, model, True))
     else:
         eps_fn = make_eps_fn(model, params, False)
     # Random and zero-order search denoise candidates with the configured

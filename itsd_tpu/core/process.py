@@ -171,6 +171,37 @@ def cfg_combine(eps_cond: jnp.ndarray, eps_uncond: jnp.ndarray,
     return (1.0 + w) * eps_cond - w * eps_uncond
 
 
+def _validate_interval(interval) -> None:
+    """Fail fast on REVERSED concrete guidance intervals at build time:
+    lo > hi would silently disable guidance for the whole chain
+    (never-active lax.cond branch) and look like plain unguided sampling.
+    An EMPTY interval (lo == hi) stays legal — sweeps use it as the
+    explicit "guidance off" arm (see cfg_nfes). Traced scalars skip the
+    check (their values are unknown until runtime by design)."""
+    if interval is None:
+        return
+    try:
+        lo_c, hi_c = int(interval[0]), int(interval[1])
+    except (TypeError, jax.errors.TracerIntegerConversionError,
+            jax.errors.ConcretizationTypeError):
+        return  # tracer(s): values unknowable here — sweep programs own this
+    if lo_c > hi_c:
+        raise ValueError(
+            f"cfg interval (lo={lo_c}, hi={hi_c}) is reversed: "
+            "guidance would never activate; want lo <= hi "
+            "(lo == hi means guidance off)")
+
+
+def _tile_labels(labels: jnp.ndarray, batch: int) -> jnp.ndarray:
+    """Search folds the candidate axis into the batch (N*B rows); labels
+    are per-batch-position [B], so tile them across the fold."""
+    if batch == labels.shape[0]:
+        return labels
+    assert batch % labels.shape[0] == 0, (
+        f"batch {batch} not a multiple of labels {labels.shape[0]}")
+    return jnp.tile(labels, batch // labels.shape[0])
+
+
 def make_cfg_eps_fn(model_eps_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray],
                     labels: jnp.ndarray, w: float,
                     interval: Optional[Tuple[int, int]] = None) -> EpsFn:
@@ -190,24 +221,7 @@ def make_cfg_eps_fn(model_eps_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarra
     contract that ``t`` is batch-constant within a step (true of every
     sampler here: ancestral/DDIM/DPM/segments all broadcast a scalar step).
     """
-    if interval is not None:
-        # Fail fast on REVERSED concrete intervals at build time: lo > hi
-        # would silently disable guidance for the whole chain (never-active
-        # lax.cond branch) and look like plain unguided sampling. An EMPTY
-        # interval (lo == hi) stays legal — sweeps use it as the explicit
-        # "guidance off" arm (see cfg_nfes). Traced scalars skip the check
-        # (their values are unknown until runtime by design).
-        try:
-            lo_c, hi_c = int(interval[0]), int(interval[1])
-        except (TypeError, jax.errors.TracerIntegerConversionError,
-                jax.errors.ConcretizationTypeError):
-            pass  # tracer(s): values unknowable here — sweep programs own this
-        else:
-            if lo_c > hi_c:
-                raise ValueError(
-                    f"cfg interval (lo={lo_c}, hi={hi_c}) is reversed: "
-                    "guidance would never activate; want lo <= hi "
-                    "(lo == hi means guidance off)")
+    _validate_interval(interval)
 
     def dual(x_t: jnp.ndarray, t: jnp.ndarray, lab: jnp.ndarray):
         x2 = jnp.concatenate([x_t, x_t], axis=0)
@@ -218,14 +232,7 @@ def make_cfg_eps_fn(model_eps_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarra
         return cfg_combine(eps_c, eps_u, w)
 
     def eps_fn(x_t: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-        # Search folds the candidate axis into the batch (N*B rows); labels
-        # are per-batch-position [B], so tile them across the fold.
-        lab = labels
-        if x_t.shape[0] != lab.shape[0]:
-            assert x_t.shape[0] % lab.shape[0] == 0, (
-                f"batch {x_t.shape[0]} not a multiple of labels "
-                f"{lab.shape[0]}")
-            lab = jnp.tile(lab, x_t.shape[0] // lab.shape[0])
+        lab = _tile_labels(labels, x_t.shape[0])
         if interval is None:
             return dual(x_t, t, lab)
         # lo/hi (and w) may be TRACED scalars: a sweep over guidance
@@ -239,6 +246,56 @@ def make_cfg_eps_fn(model_eps_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarra
             active,
             lambda x: dual(x, t, lab),
             lambda x: model_eps_fn(x, t, lab),
+            x_t)
+    return eps_fn
+
+
+def make_autoguidance_eps_fn(
+        strong_eps_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+                                jnp.ndarray],
+        weak_eps_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+                              jnp.ndarray],
+        labels: jnp.ndarray, w: float,
+        interval: Optional[Tuple[int, int]] = None) -> EpsFn:
+    """Autoguidance (Karras et al. 2024, "Guiding a Diffusion Model with a
+    Bad Version of Itself", arXiv 2406.02507): guide a strong CONDITIONAL
+    model against a weak/under-trained variant of itself —
+    ``(1+w)*eps_strong - w*eps_weak`` with BOTH forwards conditioned on
+    the same labels. Where CFG's guiding direction subtracts the
+    unconditional score (entangling class control with quality),
+    autoguidance subtracts the weak model's *errors*: the weak model
+    makes the same mistakes, amplified, so extrapolating away from it
+    cleans quality without over-sharpening class control.
+
+    Cost matches CFG (2 model evals per guided step — `cfg_nfes` applies),
+    but the two forwards carry DIFFERENT params, so they cannot be
+    dual-batched into one MXU launch the way `make_cfg_eps_fn` folds its
+    cond/uncond pair; XLA still overlaps them within a step.
+    ``interval=(lo, hi)`` restricts guidance exactly as in
+    `make_cfg_eps_fn` (single strong forward outside it).
+
+    The reference has no counterpart (its guidance is fixed full-range
+    CFG, `DiffusionFreeGuidence/DiffusionCondition.py:79-87`); this is a
+    beyond-the-paper inference-time quality axis alongside restart/SMC.
+    """
+    _validate_interval(interval)
+
+    def guided(x_t: jnp.ndarray, t: jnp.ndarray,
+               lab: jnp.ndarray) -> jnp.ndarray:
+        return cfg_combine(strong_eps_fn(x_t, t, lab),
+                           weak_eps_fn(x_t, t, lab), w)
+
+    def eps_fn(x_t: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        lab = _tile_labels(labels, x_t.shape[0])
+        if interval is None:
+            return guided(x_t, t, lab)
+        lo, hi = interval[0], interval[1]
+        active = jnp.logical_and(t.reshape(-1)[0] >= lo,
+                                 t.reshape(-1)[0] < hi)
+        return jax.lax.cond(
+            active,
+            lambda x: guided(x, t, lab),
+            lambda x: strong_eps_fn(x, t, lab),
             x_t)
     return eps_fn
 

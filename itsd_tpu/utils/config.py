@@ -64,6 +64,19 @@ class DiffusionCfg:
     # knob AND an NFE saving (core.process.cfg_nfes). None/() = guide the
     # whole chain (the reference's behavior).
     cfg_interval: Optional[Tuple[int, int]] = None
+    # Guidance flavor for conditional sampling:
+    #   "cfg"  — classifier-free guidance: (1+w)*eps_cond - w*eps_uncond,
+    #            one dual-batched forward (the reference's behavior);
+    #   "auto" — autoguidance (Karras et al. 2024, arXiv 2406.02507):
+    #            (1+w)*eps_strong - w*eps_weak, BOTH conditional, the weak
+    #            model loaded from `weak_load_weight` (an under-trained
+    #            checkpoint of the same architecture). Same 2-evals/step
+    #            cost; `cfg_interval` applies to either.
+    guidance: str = "cfg"
+    # checkpoint name (under save_weight_dir) of the WEAK model for
+    # guidance="auto"; loaded exactly like test_load_weight (full or
+    # weights-only checkpoints, cross-T surgery applied)
+    weak_load_weight: Optional[str] = None
     # restart sampling (Xu et al. 2023): ((t_max, t_min, k), ...) —
     # re-noise + re-denoise each interval k extra times, riding whatever
     # base `sampler` family is selected (ddpm/ddim/dpm; not picard).

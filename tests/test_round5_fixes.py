@@ -165,3 +165,111 @@ def test_tracked_is_moves_with_classifier_logits(tmp_path, monkeypatch):
     with open(tmp_path / "metrics" / "metrics_meta.json") as f:
         meta = _json.load(f)
     assert meta["is_logit_source"].startswith("classifier:")
+
+
+# ---------------------------------------------------------------------------
+# Autoguidance (Karras et al. 2024): strong-vs-weak conditional guidance
+
+
+def _affine_eps(scale):
+    def fn(x, t, lab):
+        return scale * x + lab.reshape(
+            (-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+    return fn
+
+
+def test_autoguidance_mix_algebra():
+    from itsd_tpu.core import cfg_combine, make_autoguidance_eps_fn
+    strong, weak = _affine_eps(0.2), _affine_eps(0.5)
+    labels = jnp.array([1, 2], jnp.int32)
+    x = jnp.ones((2, 4, 4, 1))
+    t = jnp.zeros((2,), jnp.int32)
+
+    # w=0 -> exactly the strong model's conditional forward
+    f0 = make_autoguidance_eps_fn(strong, weak, labels, w=0.0)
+    np.testing.assert_allclose(np.asarray(f0(x, t)),
+                               np.asarray(strong(x, t, labels)))
+
+    # general w -> (1+w)*strong - w*weak, elementwise
+    f = make_autoguidance_eps_fn(strong, weak, labels, w=1.5)
+    want = cfg_combine(strong(x, t, labels), weak(x, t, labels), 1.5)
+    np.testing.assert_allclose(np.asarray(f(x, t)), np.asarray(want),
+                               rtol=1e-6)
+
+    # candidate-folded batch (N*B rows) tiles the labels
+    x4 = jnp.ones((4, 4, 4, 1))
+    t4 = jnp.zeros((4,), jnp.int32)
+    lab4 = jnp.tile(labels, 2)
+    np.testing.assert_allclose(
+        np.asarray(f(x4, t4)),
+        np.asarray(cfg_combine(strong(x4, t4, lab4),
+                               weak(x4, t4, lab4), 1.5)), rtol=1e-6)
+
+    # interval: outside [lo, hi) the step is the strong forward alone
+    fi = make_autoguidance_eps_fn(strong, weak, labels, w=1.5,
+                                  interval=(2, 6))
+    t_out = jnp.full((2,), 7, jnp.int32)
+    np.testing.assert_allclose(np.asarray(fi(x, t_out)),
+                               np.asarray(strong(x, t_out, labels)))
+    t_in = jnp.full((2,), 3, jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(fi(x, t_in)),
+        np.asarray(cfg_combine(strong(x, t_in, labels),
+                               weak(x, t_in, labels), 1.5)), rtol=1e-6)
+
+    # reversed interval fails fast, same contract as CFG
+    with pytest.raises(ValueError, match="reversed"):
+        make_autoguidance_eps_fn(strong, weak, labels, w=1.0,
+                                 interval=(6, 2))
+
+
+def test_autoguidance_cli_end_to_end(tmp_path):
+    """diffusion.guidance=auto through evaluate: strong + weak conditional
+    checkpoints, plus the two config error paths."""
+    import jax as _jax
+    from itsd_tpu.cli import runner
+    from itsd_tpu.train.checkpoint import save_params
+    from itsd_tpu.utils import Config, apply_overrides
+
+    cfg = Config()
+    apply_overrides(cfg, [
+        "data.dataset=synthetic", "data.img_size=8",
+        "model.channel=16", "model.channel_mult=[1]", "model.attn=[]",
+        "model.num_res_blocks=1", "model.dropout=0.0",
+        "model.num_labels=10", "model.time_embed=functional",
+        "diffusion.T=8", "diffusion.w=1.5", "train.eval_batch_size=4",
+    ])
+    cfg.save_weight_dir = str(tmp_path)
+    cfg.sampled_dir = str(tmp_path / "sampled")
+    model, conditional = runner.build_model(cfg)
+    assert conditional
+    for name, seed in (("strong_ckpt", 0), ("weak_ckpt", 1)):
+        params = model.init(_jax.random.PRNGKey(seed),
+                            jnp.zeros((1, 8, 8, 3)),
+                            jnp.zeros((1,), jnp.int32),
+                            jnp.zeros((1,), jnp.int32))
+        save_params(str(tmp_path / name), _jax.device_get(params))
+    cfg.test_load_weight = "strong_ckpt"
+
+    cfg.diffusion.guidance = "auto"
+    with pytest.raises(ValueError, match="weak_load_weight"):
+        runner.evaluate(cfg)
+    cfg.diffusion.weak_load_weight = "weak_ckpt"
+    out = runner.evaluate(cfg)
+    assert out["images"].shape == (4, 8, 8, 3)
+    assert np.isfinite(out["images"]).all()
+
+    # autoguidance differs from CFG on the same weights
+    cfg2 = Config()
+    apply_overrides(cfg2, [
+        "data.dataset=synthetic", "data.img_size=8",
+        "model.channel=16", "model.channel_mult=[1]", "model.attn=[]",
+        "model.num_res_blocks=1", "model.dropout=0.0",
+        "model.num_labels=10", "model.time_embed=functional",
+        "diffusion.T=8", "diffusion.w=1.5", "train.eval_batch_size=4",
+    ])
+    cfg2.save_weight_dir = str(tmp_path)
+    cfg2.sampled_dir = str(tmp_path / "sampled2")
+    cfg2.test_load_weight = "strong_ckpt"
+    out_cfg = runner.evaluate(cfg2)
+    assert np.abs(out["images"] - out_cfg["images"]).max() > 1e-6
