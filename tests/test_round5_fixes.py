@@ -273,3 +273,44 @@ def test_autoguidance_cli_end_to_end(tmp_path):
     cfg2.test_load_weight = "strong_ckpt"
     out_cfg = runner.evaluate(cfg2)
     assert np.abs(out["images"] - out_cfg["images"]).max() > 1e-6
+
+
+def test_autoguidance_through_search_cli(tmp_path):
+    """The search path builds its eps_fn through the same wiring: a tiny
+    best-of-2 random search under diffusion.guidance=auto runs end-to-end
+    and differs from the CFG search on identical weights/keys."""
+    import copy
+
+    import jax as _jax
+    from itsd_tpu.cli import runner
+    from itsd_tpu.train.checkpoint import save_params
+    from itsd_tpu.utils import Config, apply_overrides
+
+    cfg = Config()
+    apply_overrides(cfg, [
+        "data.dataset=synthetic", "data.img_size=8",
+        "model.channel=16", "model.channel_mult=[1]", "model.attn=[]",
+        "model.num_res_blocks=1", "model.dropout=0.0",
+        "model.num_labels=10", "model.time_embed=functional",
+        "diffusion.T=8", "diffusion.w=1.0",
+        "search.algorithm=random", "search.n_candidates=2",
+        "search.verifier=self_supervised", "train.eval_batch_size=2",
+    ])
+    cfg.save_weight_dir = str(tmp_path)
+    cfg.sampled_dir = str(tmp_path / "sampled")
+    model, _ = runner.build_model(cfg)
+    for name, seed in (("strong_ckpt", 0), ("weak_ckpt", 1)):
+        params = model.init(_jax.random.PRNGKey(seed),
+                            jnp.zeros((1, 8, 8, 3)),
+                            jnp.zeros((1,), jnp.int32),
+                            jnp.zeros((1,), jnp.int32))
+        save_params(str(tmp_path / name), _jax.device_get(params))
+    cfg.test_load_weight = "strong_ckpt"
+
+    cfg_auto = copy.deepcopy(cfg)
+    cfg_auto.diffusion.guidance = "auto"
+    cfg_auto.diffusion.weak_load_weight = "weak_ckpt"
+    out_auto = runner.run_search(cfg_auto)
+    out_cfg = runner.run_search(cfg)
+    assert np.isfinite(out_auto["best_score"])
+    assert out_auto["best_score"] != out_cfg["best_score"]
