@@ -355,8 +355,11 @@ def _train_mesh(cfg: Config):
 
     Pure-DP by default. With train.spatial_shard=K the devices factor
     into (data=n/K, seq=K) and image rows shard over 'seq'
-    (parallel.spatial_sharding — per-chip activation memory drops ~Kx);
-    the same mesh is the ring-attention axis. With spatial_shard=1 but
+    (parallel.spatial_sharding); the same mesh is the ring-attention axis.
+    Memory (MEASURED, docs/PERF.md "The memory claim, MEASURED"): per-chip
+    activations drop ~1/K only when the data axis is exhausted (batch <=
+    data shards — serving/huge-image work); at fixed global batch the
+    (n/K, K) refactor saves nothing (+6-26% halo/ring overhead). With spatial_shard=1 but
     attention_impl=ring, the seq axis is sized 1 (the ring degenerates to
     local attention) so ring training PRESERVES data parallelism — the
     tokens-over-all-devices default layout is a latency-serving layout,

@@ -152,9 +152,10 @@ class TrainCfg:
     # `<metrics_save_dir>/trace` (0 disables)
     profile_steps: int = 0
     # spatial partitioning: shard image ROWS over a 'seq' mesh axis of
-    # this size (data axis gets device_count/spatial_shard) — per-chip
-    # activation memory scales down with it, the second lever on the
-    # 256x256 memory wall (docs/PERF.md); composes with
+    # this size (data axis gets device_count/spatial_shard). Memory lever
+    # ONLY when the data axis is exhausted (batch <= data shards: per-chip
+    # activations ~1/K, measured); at fixed global batch it saves nothing
+    # (docs/PERF.md "The memory claim, MEASURED"). Composes with
     # model.attention_impl=ring on the same axis. 1 disables.
     spatial_shard: int = 1
     # PRNG implementation for the training key stream. "rbg" uses the
