@@ -364,3 +364,92 @@ def test_spatial_memory_probe_wiring(tmp_path, monkeypatch):
     sm.main()
     rep2 = json.load(open(tmp_path / "spatial_memory_smoke.json"))
     assert len(rep2["rows"]) == n
+
+
+def test_smc_placement_wiring(tmp_path, monkeypatch):
+    """smc_placement.py (VERDICT r5: placement sweep at the lambda knee) —
+    arms, equal-NFE accounting, per-(arm,seed) resume, summary schema,
+    proven on CPU with a tiny stand-in before chip time."""
+    import bench as _bench
+    import experiments.smc_placement as sp
+    import itsd_tpu.models.classifier as clf
+    from itsd_tpu.models import UNet, uncond_unet_config
+
+    cfg = uncond_unet_config(ch=8, ch_mult=(1,), attn=(),
+                             num_res_blocks=1, dropout=0.0, T=8,
+                             time_embed="functional", dtype="float32")
+    tiny = UNet(cfg)
+    params = tiny.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 32, 32, 3)),
+                       jnp.zeros((1,), jnp.int32))
+    monkeypatch.setattr(_bench, "load_artifact_params",
+                        lambda name: params)
+    monkeypatch.setattr(ta, "build_unet", lambda name, **kw: (tiny, False))
+    monkeypatch.setattr(ta, "TRAIN_T", 8)
+    monkeypatch.setattr(
+        clf, "load_classifier",
+        lambda p: (lambda x: x.mean(axis=(1, 2)) @ jnp.ones((3, 10)),
+                   None, None))
+    monkeypatch.setattr(sp, "RESULTS", str(tmp_path))
+    monkeypatch.setattr(sp, "N_PARTICLES", 4)
+    monkeypatch.setattr(sp, "PLACEMENTS",
+                        {"early": (6, 4, 2), "late": (3, 2, 1)})
+    monkeypatch.setattr(sys, "argv",
+                        ["smc_placement.py", "--seeds", "2", "--batch", "2"])
+    sp.main()
+
+    rep = json.load(open(tmp_path / "smc_placement_cpu.json"))
+    assert rep["complete"] is True
+    assert set(rep["arms"]) == {"early", "late"}
+    for v in rep["arms"].values():
+        assert v["n_seeds"] == 2
+        assert np.isfinite(v["E_best"])
+        assert len(v["resample_steps"]) == 3
+    # identical NFE across arms (3 checkpoints each)
+    assert rep["nfe"]["smc"] > rep["nfe"]["bestof16"]
+
+    # resume: nothing re-measured
+    before = json.dumps(rep["per_seed"], sort_keys=True)
+    sp.main()
+    rep2 = json.load(open(tmp_path / "smc_placement_cpu.json"))
+    assert json.dumps(rep2["per_seed"], sort_keys=True) == before
+
+
+@pytest.mark.slow
+def test_autoguidance_search_wiring(tmp_path, monkeypatch):
+    """autoguidance_search.py — guided-candidate best-of-N over segment
+    launches: arm set, NFE accounting, resume, both guidance flavors.
+    (slow: ~14 min on the 1-core CPU mesh — 64x64 segment programs x2
+    guidance flavors x2 batch shapes all compile)"""
+    import experiments.autoguidance_search as ags
+    import experiments.train_artifacts as ta_mod
+    import itsd_tpu.models.classifier as clf
+    from itsd_tpu.models import UNet, cond_unet_config
+
+    cfg = cond_unet_config(num_labels=10, ch=8, ch_mult=(1,),
+                           num_res_blocks=1, dropout=0.0, T=8,
+                           dtype="float32")
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, time_embed="functional")
+    tiny = UNet(cfg)
+    monkeypatch.setattr(ta_mod, "build_unet",
+                        lambda name, **kw: (tiny, True))
+    monkeypatch.setattr(ta_mod, "TRAIN_T", 8)
+    monkeypatch.setattr(
+        clf, "load_classifier",
+        lambda p: (lambda x: x.mean(axis=(1, 2)) @ jnp.ones((3, 10)),
+                   None, None))
+    monkeypatch.setattr(ags, "RESULTS", str(tmp_path))
+    monkeypatch.setattr(sys, "argv",
+                        ["autoguidance_search.py", "--seeds", "1",
+                         "--per-class", "1", "--T", "6"])
+    # --T smoke uses random init for strong/weak; 64x64 shapes stay
+    ags.main()
+    rep = json.load(open(tmp_path / "autoguidance_search_smoke.json"))
+    arms = set(rep["summary"])
+    assert arms == {"cfg_w1.8_bo1", "cfg_w1.8_bo4",
+                    "auto_mid_w0.5_bo1", "auto_mid_w0.5_bo4"}
+    assert rep["summary"]["cfg_w1.8_bo4"]["nfe_per_image"] == \
+        4 * rep["summary"]["cfg_w1.8_bo1"]["nfe_per_image"]
+    for v in rep["summary"].values():
+        assert np.isfinite(v["verifier_best_mean"])
